@@ -1,0 +1,48 @@
+"""Global configuration for gpy_tpu.
+
+Replaces GPy's layered INI config (reference: GPy/util/config.py:20-36,
+GPy/defaults.cfg) with a small typed config object. The knobs that mattered
+there (openmp on/off, cython on/off, plotting backend) are irrelevant under
+XLA; what matters on TPU is precision policy and jitter policy.
+
+By default we enable float64 (GP numerics — Cholesky of ill-conditioned Gram
+matrices — genuinely need it for parity with GPy's LAPACK path). On TPU f64 is
+emulated; performance-critical paths (bench.py) may opt into f32 with a larger
+jitter ladder via `set_default_dtype`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+
+
+def _enable_x64() -> None:
+    # Allow override via env; default on for GP numerical parity.
+    if os.environ.get("GPY_TPU_X64", "1") != "0":
+        jax.config.update("jax_enable_x64", True)
+
+
+_enable_x64()
+
+
+@dataclasses.dataclass
+class Config:
+    # starting jitter as a multiple of mean diagonal (GPy: util/linalg.py:56-82
+    # starts at 1e-6 * mean(diag) and escalates 10x per retry, maxtries=5)
+    jitter: float = 1e-6
+    max_jitter_tries: int = 5
+    # default dtype for model parameters / Gram matrices
+    default_dtype: str = "float64" if os.environ.get("GPY_TPU_X64", "1") != "0" else "float32"
+    # Pallas kernels: only used on TPU backend for large shapes; XLA path otherwise
+    use_pallas: bool = True
+
+
+config = Config()
+
+
+def default_dtype():
+    import jax.numpy as jnp
+
+    return jnp.float64 if config.default_dtype == "float64" else jnp.float32

@@ -1,0 +1,222 @@
+"""Model base: objective = -log_likelihood - log_prior, optimizers, checkgrad.
+
+Reference: GPy/core/model.py (objective_function:96-108,
+objective_function_gradients:110-127) + the paramz Model.optimize /
+optimize_restarts / checkgrad machinery that GPy inherits.
+
+TPU design: the objective is a pure jitted function of the flat unconstrained
+parameter vector; `jax.value_and_grad` replaces paramz's
+`_transform_gradients` chain rule and the whole observer cascade. scipy's
+L-BFGS-B drives the host-side loop (like GPy's default 'lbfgsb'), calling the
+compiled objective; an optax path (`optimizer='adam'`) runs fully on-device.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .module import Module
+
+__all__ = ["Model"]
+
+
+class OptimizationResult:
+    def __init__(self, x_opt, f_opt, status, n_iters, success):
+        self.x_opt = x_opt
+        self.f_opt = f_opt
+        self.status = status
+        self.n_iters = n_iters
+        self.success = success
+
+    def __repr__(self):
+        return f"<OptimizationResult f_opt={self.f_opt:.6g} iters={self.n_iters} status={self.status!r}>"
+
+
+class Model(Module):
+    """Base for all trainable models."""
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name=name)
+        self.__dict__["_objgrad_cache"] = None  # (structure_version, jitted_fn)
+
+    # --- interface --------------------------------------------------------
+    def log_likelihood(self):
+        raise NotImplementedError
+
+    def objective_function(self):
+        """-logL - log_prior. GPy: core/model.py:96-108."""
+        return -self.log_likelihood() - self.log_prior()
+
+    def objective_function_gradients(self):
+        """Gradient in unconstrained optimizer space. GPy: core/model.py:110-127."""
+        _, g = self._objective_and_grad(self.get_flat_raw())
+        return np.asarray(g)
+
+    # --- jitted objective over flat raw vector ----------------------------
+    def _flat_objective(self, flat):
+        m = self.with_flat_raw(flat)
+        return m.objective_function()
+
+    def _get_objgrad(self):
+        cache = self.__dict__.get("_objgrad_cache")
+        ver = self.structure_version()
+        key = (ver, self._data_version())
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        fn = jax.jit(jax.value_and_grad(self._flat_objective))
+        self.__dict__["_objgrad_cache"] = (key, fn)
+        return fn
+
+    def _data_version(self) -> int:
+        """Subclasses bump this when (X, Y) change, invalidating jit caches."""
+        return self.__dict__.get("_data_ver", 0)
+
+    def _bump_data_version(self):
+        self.__dict__["_data_ver"] = self.__dict__.get("_data_ver", 0) + 1
+
+    def _objective_and_grad(self, flat):
+        return self._get_objgrad()(jnp.asarray(flat))
+
+    # --- optimization -----------------------------------------------------
+    def optimize(
+        self,
+        optimizer: str = "lbfgsb",
+        max_iters: int = 1000,
+        messages: bool = False,
+        ipython_notebook: bool = False,
+        clear_after_finish: bool = False,
+        gtol: float = 1e-8,
+        ftol: float = 2.2e-14,
+        step_size: float = 1e-2,
+        **kwargs,
+    ):
+        """Maximize the (penalized) marginal likelihood.
+
+        optimizer: 'lbfgsb' | 'bfgs' | 'tnc' | 'scg' (alias of lbfgsb) |
+        'adam' (on-device optax loop).
+        GPy: GP.optimize core/gp.py:663-684 → paramz optimize.
+        """
+        for m in self.modules():
+            hook = getattr(m, "on_optimization_start", None)
+            if hook is not None and m is not self:
+                hook()
+        try:
+            if optimizer in ("adam", "adagrad", "rmsprop"):
+                res = self._optimize_optax(optimizer, max_iters, step_size, messages)
+            else:
+                res = self._optimize_scipy(optimizer, max_iters, messages, gtol, ftol)
+        finally:
+            for m in self.modules():
+                hook = getattr(m, "on_optimization_end", None)
+                if hook is not None and m is not self:
+                    hook()
+        return res
+
+    def _optimize_scipy(self, optimizer, max_iters, messages, gtol, ftol):
+        import scipy.optimize
+
+        objgrad = self._get_objgrad()
+        n_evals = [0]
+        t0 = time.time()
+
+        def fg(x):
+            n_evals[0] += 1
+            v, g = objgrad(jnp.asarray(x))
+            v = float(v)
+            g = np.asarray(g, dtype=np.float64)
+            if not np.isfinite(v):
+                return 1e100, np.zeros_like(g)
+            g = np.nan_to_num(g, nan=0.0, posinf=1e10, neginf=-1e10)
+            if messages and n_evals[0] % 10 == 1:
+                print(f"  eval {n_evals[0]:4d}  obj {v:.6f}  t={time.time()-t0:.1f}s")
+            return v, g
+
+        x0 = np.asarray(self.get_flat_raw(), dtype=np.float64)
+        method = {"lbfgsb": "L-BFGS-B", "bfgs": "BFGS", "tnc": "TNC", "scg": "L-BFGS-B", "lbfgs": "L-BFGS-B"}.get(
+            optimizer, "L-BFGS-B"
+        )
+        opts = {"maxiter": max_iters}
+        if method == "L-BFGS-B":
+            opts.update(dict(gtol=gtol, ftol=ftol, maxfun=15000 if max_iters < 15000 else max_iters * 2))
+        r = scipy.optimize.minimize(fg, x0, jac=True, method=method, options=opts)
+        self.set_flat_raw(jnp.asarray(r.x))
+        if messages:
+            print(f"Optimization finished: f={r.fun:.6f} after {n_evals[0]} evals ({r.message})")
+        return OptimizationResult(r.x, float(r.fun), str(r.message), int(r.get("nit", -1)), bool(r.success))
+
+    def _optimize_optax(self, optimizer, max_iters, step_size, messages):
+        import optax
+
+        opt = {"adam": optax.adam, "adagrad": optax.adagrad, "rmsprop": optax.rmsprop}[optimizer](step_size)
+        objgrad = self._get_objgrad()
+
+        @jax.jit
+        def step(x, state):
+            v, g = jax.value_and_grad(self._flat_objective)(x)
+            updates, state = opt.update(g, state, x)
+            return optax.apply_updates(x, updates), state, v
+
+        x = self.get_flat_raw()
+        state = opt.init(x)
+        v = jnp.inf
+        for i in range(max_iters):
+            x, state, v = step(x, state)
+            if messages and i % 100 == 0:
+                print(f"  iter {i:5d}  obj {float(v):.6f}")
+        self.set_flat_raw(x)
+        return OptimizationResult(np.asarray(x), float(v), "adam finished", max_iters, True)
+
+    def optimize_restarts(self, num_restarts=10, robust=False, verbose=True, parallel=False, seed=None, **kwargs):
+        """GPy/paramz optimize_restarts: keep the best of several random inits."""
+        rng = np.random.default_rng(seed)
+        initial = self.get_flat_raw()
+        best_obj, best_x = np.inf, None
+        results = []
+        for i in range(num_restarts):
+            try:
+                if i > 0:
+                    self.randomize(rng)
+                res = self.optimize(**kwargs)
+                results.append(res)
+                if res.f_opt < best_obj:
+                    best_obj, best_x = res.f_opt, self.get_flat_raw()
+                if verbose:
+                    print(f"Optimization restart {i+1}/{num_restarts}, f = {res.f_opt}")
+            except Exception as e:
+                if not robust:
+                    raise
+                if verbose:
+                    print(f"Warning - optimization restart {i+1}/{num_restarts} failed: {e}")
+        if best_x is not None:
+            self.set_flat_raw(best_x)
+        else:
+            self.set_flat_raw(initial)
+        return results
+
+    # --- gradient checking (the universal test oracle; GPy m.checkgrad) ---
+    def checkgrad(self, verbose=False, step=1e-6, tolerance=1e-3) -> bool:
+        objgrad = self._get_objgrad()
+        x = np.asarray(self.get_flat_raw(), dtype=np.float64)
+        _, g = objgrad(jnp.asarray(x))
+        g = np.asarray(g)
+        num = np.zeros_like(x)
+        for i in range(x.size):
+            xp, xm = x.copy(), x.copy()
+            xp[i] += step
+            xm[i] -= step
+            fp, _ = objgrad(jnp.asarray(xp))
+            fm, _ = objgrad(jnp.asarray(xm))
+            num[i] = (float(fp) - float(fm)) / (2 * step)
+        denom = np.maximum(np.abs(g) + np.abs(num), 1e-10)
+        ratio = np.abs(g - num) / denom
+        ok = bool(np.all((ratio < tolerance) | (np.abs(g - num) < 1e-6)))
+        if verbose:
+            paths = [p for p, m, n in self._free_entries() for _ in range(int(np.prod(m._raw[n].shape)))]
+            print(f"{'param':<40} {'analytic':>12} {'numeric':>12} {'ratio':>10}")
+            for i in range(x.size):
+                print(f"{paths[i]:<40} {g[i]:>12.6f} {num[i]:>12.6f} {ratio[i]:>10.2e}")
+        return ok

@@ -1,0 +1,180 @@
+"""Numerics core: PSD linear algebra on TPU.
+
+TPU-native replacement of GPy's LAPACK binding layer (reference:
+GPy/util/linalg.py — jitchol:56, dtrtrs:95, dpotrs:116, dpotri:127, pdinv:193,
+tdot_blas:299, symmetrify:356, backsub_both_sides:381). Everything here is a
+pure jittable function; gradients come from JAX's built-in cholesky /
+triangular-solve VJPs, which replaces GPy's Cython cholesky backprop
+(GPy/util/choleskies_cython.pyx:43-82).
+
+Design notes (TPU):
+  * `jitchol` cannot "retry on exception" under jit. We use a fixed jitter
+    ladder evaluated with `lax.while_loop`: try chol, check for NaNs (XLA
+    cholesky returns NaN rows instead of raising), escalate jitter 10x.
+    This reproduces GPy's semantics (1e-6*mean(diag) start, 10x escalation,
+    maxtries) as a compiled program.
+  * `tdot(A) = A @ A.T` maps straight onto the MXU; no dsyrk needed.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import config
+
+__all__ = [
+    "jitchol",
+    "chol_jitter_used",
+    "dtrtrs",
+    "dpotrs",
+    "dpotri",
+    "pdinv",
+    "tdot",
+    "trace_dot",
+    "symmetrify",
+    "backsub_both_sides",
+    "diag_add",
+    "logdet_from_chol",
+    "safe_sqrt",
+    "cho_solve",
+]
+
+
+def tdot(A: jax.Array) -> jax.Array:
+    """A @ A.T (MXU-friendly). GPy: util/linalg.py:299 (dsyrk)."""
+    return A @ A.T
+
+
+def trace_dot(A: jax.Array, B: jax.Array) -> jax.Array:
+    """tr(A @ B) without forming the product."""
+    return jnp.sum(A * B.T)
+
+
+def symmetrify(A: jax.Array) -> jax.Array:
+    """(A + A.T)/2. GPy: util/linalg.py:356 (in-place Cython); here a fused op."""
+    return 0.5 * (A + A.T)
+
+
+def diag_add(A: jax.Array, d) -> jax.Array:
+    """A + diag(d) for scalar or vector d. GPy: util/diag.py add views."""
+    n = A.shape[-1]
+    d = jnp.asarray(d)
+    if d.ndim == 0:
+        return A + d * jnp.eye(n, dtype=A.dtype)
+    return A + jnp.diag(d)
+
+
+def _chol_ok(L: jax.Array) -> jax.Array:
+    # XLA cholesky signals failure with NaNs; also guard nonfinite input.
+    return jnp.all(jnp.isfinite(L))
+
+
+@partial(jax.jit, static_argnames=("maxtries",))
+def _jitchol_impl(A: jax.Array, jitter0: jax.Array, maxtries: int):
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def try_chol(jit_amount):
+        return jnp.linalg.cholesky(A + jit_amount * eye)
+
+    L0 = jnp.linalg.cholesky(A)
+
+    def cond(state):
+        L, jit_amount, tries = state
+        return (~_chol_ok(L)) & (tries <= maxtries)
+
+    def body(state):
+        _, jit_amount, tries = state
+        L = try_chol(jit_amount)
+        return L, jit_amount * 10.0, tries + 1
+
+    L, jit_used, _ = lax.while_loop(cond, body, (L0, jitter0, jnp.array(0)))
+    return L, jit_used / 10.0
+
+
+def jitchol(A: jax.Array, maxtries: int | None = None):
+    """Cholesky with escalating-jitter retry ladder.
+
+    GPy: util/linalg.py:56-82 (jitchol). Returns L (lower). Under jit the
+    ladder is a while_loop over NaN checks rather than exception handling.
+    """
+    if maxtries is None:
+        maxtries = config.max_jitter_tries
+    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
+    jitter0 = jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
+    L, _ = _jitchol_impl(A, jitter0.astype(A.dtype), maxtries)
+    return L
+
+
+def chol_jitter_used(A: jax.Array, maxtries: int | None = None):
+    """Like jitchol but also returns the jitter actually applied."""
+    if maxtries is None:
+        maxtries = config.max_jitter_tries
+    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
+    jitter0 = jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
+    return _jitchol_impl(A, jitter0.astype(A.dtype), maxtries)
+
+
+def dtrtrs(L: jax.Array, B: jax.Array, lower: bool = True, trans: bool = False):
+    """Solve triangular L x = B (GPy: util/linalg.py:95)."""
+    return jax.scipy.linalg.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
+
+
+def dpotrs(L: jax.Array, B: jax.Array):
+    """Solve A x = B given chol factor L (GPy: util/linalg.py:116)."""
+    return jax.scipy.linalg.cho_solve((L, True), B)
+
+
+cho_solve = dpotrs
+
+
+def dpotri(L: jax.Array):
+    """A^{-1} from chol factor L (GPy: util/linalg.py:127)."""
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return Li.T @ Li
+
+
+def pdinv(A: jax.Array):
+    """(Ai, L, Li, logdet) for PSD A. GPy: util/linalg.py:193.
+
+    Returns: inverse, lower chol of A, inverse of chol, log|A|.
+    """
+    L = jitchol(A)
+    n = A.shape[-1]
+    Li = jax.scipy.linalg.solve_triangular(L, jnp.eye(n, dtype=A.dtype), lower=True)
+    Ai = Li.T @ Li
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return Ai, L, Li, logdet
+
+
+def logdet_from_chol(L: jax.Array) -> jax.Array:
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def backsub_both_sides(L: jax.Array, X: jax.Array, transpose: str = "left"):
+    """GPy: util/linalg.py:381.
+
+    transpose='left':  L^{-T} X L^{-1}
+    transpose='right': L^{-1} X L^{-T}
+    """
+    if transpose == "left":
+        tmp = jax.scipy.linalg.solve_triangular(L, X.T, lower=True, trans=1)
+        return jax.scipy.linalg.solve_triangular(L, tmp.T, lower=True, trans=1)
+    tmp = jax.scipy.linalg.solve_triangular(L, X.T, lower=True)
+    return jax.scipy.linalg.solve_triangular(L, tmp.T, lower=True)
+
+
+def safe_sqrt(x: jax.Array, eps: float = 0.0) -> jax.Array:
+    """sqrt with a well-defined (zero) gradient at x<=0.
+
+    Uses the double-where trick so autodiff through r = sqrt(r2) at r2=0
+    (the Gram diagonal) yields 0, not NaN — the autodiff-era equivalent of
+    GPy's explicit dK_dr handling of the r=0 diagonal (kern/src/stationary.py).
+    """
+    safe = jnp.where(x > eps, x, 1.0)
+    return jnp.where(x > eps, jnp.sqrt(safe), 0.0)

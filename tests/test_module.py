@@ -1,0 +1,117 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpy_tpu.core.module import Module, Param
+from gpy_tpu.core.model import Model
+from gpy_tpu.core.transformations import Logexp, Logistic
+from gpy_tpu.core import priors
+
+
+class Leaf(Module):
+    def __init__(self, name="leaf"):
+        super().__init__(name=name)
+        self._add_param("variance", 1.0, transform=Logexp())
+        self._add_param("lengthscale", np.array([1.0, 2.0]), transform=Logexp())
+
+
+class Root(Model):
+    def __init__(self):
+        super().__init__(name="root")
+        self.kern = Leaf()
+        self._add_param("offset", 0.5)
+
+    def log_likelihood(self):
+        # simple quadratic "likelihood" so the optimum is known
+        v = jnp.asarray(self.kern.variance)
+        ls = jnp.asarray(self.kern.lengthscale)
+        off = jnp.asarray(self.offset)
+        return -((v - 2.0) ** 2) - jnp.sum((ls - 3.0) ** 2) - (off - 1.0) ** 2
+
+
+def test_param_access_and_set():
+    m = Root()
+    assert float(m.kern.variance) == pytest.approx(1.0)
+    m.kern.variance = 5.0
+    assert float(m.kern.variance) == pytest.approx(5.0)
+    # transform round trip for vector
+    m.kern.lengthscale = np.array([0.1, 7.0])
+    np.testing.assert_allclose(np.asarray(m.kern.lengthscale), [0.1, 7.0], rtol=1e-10)
+
+
+def test_arithmetic_with_params():
+    m = Root()
+    out = m.kern.variance * jnp.ones(3) + 1.0
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    assert float(2.0 / m.kern.variance) == pytest.approx(2.0)
+
+
+def test_flat_roundtrip():
+    m = Root()
+    flat = m.get_flat_raw()
+    assert flat.shape == (4,)
+    m2_vals = m.param_array.copy()
+    m.set_flat_raw(flat + 0.0)
+    np.testing.assert_allclose(m.param_array, m2_vals)
+
+
+def test_fix_excludes_from_flat():
+    m = Root()
+    m.kern.lengthscale.fix()
+    assert m.get_flat_raw().shape == (2,)
+    m.kern.lengthscale.unfix()
+    assert m.get_flat_raw().shape == (4,)
+
+
+def test_functional_copy_is_pure():
+    m = Root()
+    flat = m.get_flat_raw()
+    m2 = m.with_flat_raw(flat + 1.0)
+    assert float(m2.kern.variance) != float(m.kern.variance)
+    assert float(m.kern.variance) == pytest.approx(1.0)
+
+
+def test_optimize_quadratic():
+    m = Root()
+    m.optimize(max_iters=200)
+    assert float(m.kern.variance) == pytest.approx(2.0, abs=1e-4)
+    np.testing.assert_allclose(np.asarray(m.kern.lengthscale), 3.0, atol=1e-4)
+    assert float(m.offset) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_checkgrad():
+    m = Root()
+    assert m.checkgrad()
+
+
+def test_prior_contributes():
+    m = Root()
+    obj0 = float(m.objective_function())
+    m.kern.variance.set_prior(priors.Gamma(2.0, 1.0))
+    obj1 = float(m.objective_function())
+    assert obj0 != obj1
+    assert m.checkgrad()
+
+
+def test_constrain_bounded_roundtrip():
+    m = Root()
+    m.kern.variance.constrain_bounded(0.5, 4.0)
+    assert float(m.kern.variance) == pytest.approx(1.0, rel=1e-8)
+    m.optimize(max_iters=200)
+    assert float(m.kern.variance) == pytest.approx(2.0, abs=1e-3)
+
+
+def test_randomize_respects_fixed():
+    m = Root()
+    m.kern.variance.fix()
+    v = float(m.kern.variance)
+    m.randomize(np.random.default_rng(0))
+    assert float(m.kern.variance) == pytest.approx(v)
+    assert float(m.offset) != pytest.approx(0.5)
+
+
+def test_str_table():
+    m = Root()
+    s = str(m)
+    assert "kern.variance" in s and "+ve" in s
