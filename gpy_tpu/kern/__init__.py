@@ -1,0 +1,32 @@
+"""Kernel zoo (public names mirror GPy/kern/__init__.py:34-74)."""
+from .kern import Kern, CombinationKernel, Add, Prod
+from .stationary import (
+    Stationary,
+    RBF,
+    ExpQuad,
+    Exponential,
+    OU,
+    Matern32,
+    Matern52,
+    Cosine,
+    ExpQuadCosine,
+    Sinc,
+    RatQuad,
+)
+from .linear import Linear, LinearFull, TruncLinear
+from .static import Static, White, Bias, Fixed, WhiteHeteroscedastic, Precomputed
+from .periodic import StdPeriodic, PeriodicExponential, PeriodicMatern32, PeriodicMatern52
+from .misc import MLP, Poly, Brownian, Spline
+from .coregionalize import Coregionalize, IndependentOutputs, Hierarchical
+from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
+
+__all__ = [
+    "Kern", "CombinationKernel", "Add", "Prod",
+    "Stationary", "RBF", "ExpQuad", "Exponential", "OU", "Matern32", "Matern52",
+    "Cosine", "ExpQuadCosine", "Sinc", "RatQuad",
+    "Linear", "LinearFull", "TruncLinear",
+    "Static", "White", "Bias", "Fixed", "WhiteHeteroscedastic", "Precomputed",
+    "StdPeriodic", "PeriodicExponential", "PeriodicMatern32", "PeriodicMatern52",
+    "MLP", "Poly", "Brownian", "Spline",
+    "Coregionalize", "IndependentOutputs", "Hierarchical",
+]
