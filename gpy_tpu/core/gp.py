@@ -1,0 +1,262 @@
+"""GP base class: data + kern + likelihood + inference, full predict API.
+
+Reference: GPy/core/gp.py (789 LoC): __init__:38-108, parameters_changed:269,
+predict:308-365, predict_quantiles:395-416, predictive_gradients:418-474,
+predict_jacobian:476-539, posterior_samples:601-652, optimize:663-684,
+log_predictive_density:700-732, posterior_covariance_between_points:735-786,
+set_XY:212-249.
+
+TPU design: no observer cascade — `log_likelihood()` is a pure function of
+the parameter pytree, re-traced under jit by Model.optimize. The posterior is
+computed on demand and cached against the current parameter values (GPy
+recomputes it inside parameters_changed on every mutation)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import default_dtype
+from ..inference.exact import ExactGaussianInference
+from ..likelihoods.gaussian import Gaussian
+from .model import Model
+
+__all__ = ["GP"]
+
+
+class GP(Model):
+    def __init__(
+        self,
+        X,
+        Y,
+        kernel,
+        likelihood,
+        inference_method=None,
+        mean_function=None,
+        name: str = "gp",
+        Y_metadata: Optional[dict] = None,
+        normalizer=None,
+    ):
+        super().__init__(name=name)
+        dt = default_dtype()
+        self.__dict__["X"] = jnp.asarray(np.asarray(X, dtype=float), dtype=dt)
+        Ynp = np.asarray(Y, dtype=float)
+        assert Ynp.ndim == 2, "Y must be (N, D)"
+        self.num_data, self.input_dim = self.X.shape
+        _, self.output_dim = Ynp.shape
+        self.Y_metadata = Y_metadata
+
+        # normalizer handling (GPy: core/gp.py:49-65)
+        if normalizer is True:
+            from ..util.normalizer import Standardize
+
+            normalizer = Standardize()
+        self.normalizer = normalizer or None
+        if self.normalizer is not None:
+            self.normalizer.scale_by(Ynp)
+            self.__dict__["Y_normalized"] = jnp.asarray(self.normalizer.normalize(Ynp), dtype=dt)
+        else:
+            self.__dict__["Y_normalized"] = jnp.asarray(Ynp, dtype=dt)
+        self.__dict__["Y"] = jnp.asarray(Ynp, dtype=dt)
+
+        # default inference method (GPy: core/gp.py:97-102)
+        if inference_method is None:
+            if isinstance(likelihood, Gaussian):
+                inference_method = ExactGaussianInference()
+            else:
+                from ..inference.ep import EP
+
+                inference_method = EP()
+        self.inference_method = inference_method
+
+        self.kern = kernel
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.__dict__["_posterior_cache"] = None
+
+    # --- objective ---------------------------------------------------------
+    def log_likelihood(self):
+        return self.inference_method.marginal_likelihood(
+            self.kern, self.X, self.likelihood, self.Y_normalized, self.mean_function, self.Y_metadata
+        )
+
+    # --- posterior (cached against parameter values) ----------------------
+    @property
+    def _predictive_variable(self):
+        return self.X
+
+    def _param_fingerprint(self):
+        raws = self.get_raw_dict()
+        return (
+            self._data_version(),
+            tuple(sorted((k, np.asarray(v).tobytes()) for k, v in raws.items())),
+        )
+
+    @property
+    def posterior(self):
+        fp = self._param_fingerprint()
+        cache = self.__dict__.get("_posterior_cache")
+        if cache is not None and cache[0] == fp:
+            return cache[1]
+        post, _ = self.inference_method.inference(
+            self.kern, self.X, self.likelihood, self.Y_normalized, self.mean_function, self.Y_metadata
+        )
+        self.__dict__["_posterior_cache"] = (fp, post)
+        return post
+
+    # --- prediction --------------------------------------------------------
+    def _raw_predict(self, Xnew, full_cov=False, kern=None):
+        kern = kern or self.kern
+        Xnew = jnp.asarray(np.asarray(Xnew, dtype=float), dtype=self.X.dtype)
+        mu, var = self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
+        if self.mean_function is not None:
+            mu = mu + self.mean_function.f(Xnew)
+        return mu, var
+
+    def predict(self, Xnew, full_cov=False, Y_metadata=None, kern=None, likelihood=None,
+                include_likelihood=True):
+        """Predictive mean and variance of Y*. GPy: core/gp.py:308-365."""
+        mu, var = self._raw_predict(Xnew, full_cov=full_cov, kern=kern)
+        if include_likelihood:
+            lik = likelihood or self.likelihood
+            mu, var = lik.predictive_values(mu, var, full_cov, Y_metadata=Y_metadata)
+        if self.normalizer is not None:
+            mu = self.normalizer.inverse_mean(np.asarray(mu))
+            if full_cov:
+                var = self.normalizer.inverse_covariance(np.asarray(var))
+            else:
+                var = self.normalizer.inverse_variance(np.asarray(var))
+            return np.asarray(mu), np.asarray(var)
+        return np.asarray(mu), np.asarray(var)
+
+    def predict_noiseless(self, Xnew, full_cov=False, Y_metadata=None, kern=None):
+        return self.predict(Xnew, full_cov, Y_metadata, kern, include_likelihood=False)
+
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), Y_metadata=None, kern=None,
+                          likelihood=None):
+        """GPy: core/gp.py:395-416."""
+        mu, var = self._raw_predict(Xnew, full_cov=False, kern=kern)
+        lik = likelihood or self.likelihood
+        qs = lik.predictive_quantiles(mu, var, quantiles, Y_metadata=Y_metadata)
+        if self.normalizer is not None:
+            qs = [self.normalizer.inverse_mean(np.asarray(q)) for q in qs]
+        return [np.asarray(q) for q in qs]
+
+    def predictive_gradients(self, Xnew, kern=None):
+        """d mu/d Xnew (N*, Q, D) and d var/d Xnew (N*, Q). GPy: gp.py:418-474."""
+        kern = kern or self.kern
+        Xnew = jnp.asarray(np.asarray(Xnew, dtype=float), dtype=self.X.dtype)
+        wv = self.posterior.woodbury_vector
+        pv = self._predictive_variable
+
+        def mu_one(x):
+            mu = kern.K(x[None], pv) @ wv  # (1, D)
+            if self.mean_function is not None:
+                mu = mu + self.mean_function.f(x[None])
+            return mu[0]
+
+        def var_one(x):
+            _, v = self.posterior._raw_predict(kern, x[None], pv, full_cov=False)
+            return v[0, 0]
+
+        dmu = jax.vmap(jax.jacfwd(mu_one))(Xnew)  # (N*, D, Q)
+        dvar = jax.vmap(jax.grad(var_one))(Xnew)  # (N*, Q)
+        return np.asarray(jnp.swapaxes(dmu, 1, 2)), np.asarray(dvar)
+
+    def predict_jacobian(self, Xnew, kern=None, full_cov=False):
+        """Jacobian of the posterior mean. GPy: gp.py:476-539 (mean part)."""
+        dmu, _ = self.predictive_gradients(Xnew, kern=kern)
+        return dmu
+
+    def predict_wishart_embedding(self, Xnew, kern=None, mean=True, covariance=True):
+        """Expected Fisher/Wishart metric G = J^T J summed over outputs.
+
+        GPy: gp.py:541-599 (predict_wishart_embedding)."""
+        dmu = self.predict_jacobian(Xnew, kern=kern)  # (N*, Q, D)
+        G = np.einsum("nqd,npd->nqp", dmu, dmu)
+        return G
+
+    def predict_magnification(self, Xnew, kern=None):
+        G = self.predict_wishart_embedding(Xnew, kern=kern)
+        return np.sqrt(np.maximum(np.linalg.det(G), 0.0))
+
+    # --- sampling ----------------------------------------------------------
+    def posterior_samples_f(self, X, size=10, full_cov=True, seed=0, **kw):
+        """Samples of latent f*. GPy: gp.py:601-628."""
+        mu, var = self._raw_predict(X, full_cov=full_cov)
+        key = jax.random.PRNGKey(seed)
+        n = mu.shape[0]
+        D = mu.shape[1]
+        if full_cov:
+            jitter = 1e-8 * jnp.trace(var) / n * jnp.eye(n, dtype=var.dtype)
+            L = jnp.linalg.cholesky(var + jitter)
+            z = jax.random.normal(key, (D, n, size), dtype=mu.dtype)
+            samples = mu.T[:, :, None] + jnp.einsum("ij,djs->dis", L, z)
+        else:
+            z = jax.random.normal(key, (D, n, size), dtype=mu.dtype)
+            samples = mu.T[:, :, None] + jnp.sqrt(var).T[:, :, None] * z
+        out = jnp.moveaxis(samples, 0, 1)  # (n, D, size)
+        if self.normalizer is not None:
+            out = jnp.asarray(self.normalizer.inverse_mean(np.asarray(out).transpose(0, 2, 1)).transpose(0, 2, 1))
+        return np.asarray(out)
+
+    def posterior_samples(self, X, size=10, Y_metadata=None, seed=0, **kw):
+        """Samples of Y*. GPy: gp.py:630-652."""
+        fs = self.posterior_samples_f(X, size=size, seed=seed, **kw)
+        key = jax.random.PRNGKey(seed + 1)
+        ys = self.likelihood.samples_given_f(key, jnp.asarray(fs), Y_metadata)
+        return np.asarray(ys)
+
+    # --- densities ----------------------------------------------------------
+    def log_predictive_density(self, x_test, y_test, Y_metadata=None):
+        """GPy: gp.py:700-714."""
+        mu, var = self._raw_predict(x_test)
+        y = np.asarray(y_test, dtype=float)
+        if self.normalizer is not None:
+            y = self.normalizer.normalize(y)
+        return np.asarray(
+            self.likelihood.log_predictive_density(jnp.asarray(y), mu, var, Y_metadata)
+        )
+
+    def posterior_covariance_between_points(self, X1, X2, kern=None):
+        """GPy: gp.py:735-786."""
+        kern = kern or self.kern
+        cov = self.posterior.covariance_between_points(
+            kern, self._predictive_variable, jnp.asarray(np.asarray(X1, float)), jnp.asarray(np.asarray(X2, float))
+        )
+        if self.normalizer is not None:
+            cov = self.normalizer.inverse_covariance(np.asarray(cov))
+        return np.asarray(cov)
+
+    # --- data mutation ------------------------------------------------------
+    def set_XY(self, X=None, Y=None):
+        """GPy: gp.py:212-249."""
+        dt = default_dtype()
+        if X is not None:
+            self.__dict__["X"] = jnp.asarray(np.asarray(X, dtype=float), dtype=dt)
+            self.num_data = self.X.shape[0]
+        if Y is not None:
+            Ynp = np.asarray(Y, dtype=float)
+            if self.normalizer is not None:
+                self.normalizer.scale_by(Ynp)
+                self.__dict__["Y_normalized"] = jnp.asarray(self.normalizer.normalize(Ynp), dtype=dt)
+            else:
+                self.__dict__["Y_normalized"] = jnp.asarray(Ynp, dtype=dt)
+            self.__dict__["Y"] = jnp.asarray(Ynp, dtype=dt)
+        self._bump_data_version()
+        self.__dict__["_posterior_cache"] = None
+
+    def set_X(self, X):
+        self.set_XY(X=X)
+
+    def set_Y(self, Y):
+        self.set_XY(Y=Y)
+
+    def optimize(self, optimizer="lbfgsb", **kwargs):
+        self.inference_method.on_optimization_start()
+        try:
+            return super().optimize(optimizer=optimizer, **kwargs)
+        finally:
+            self.inference_method.on_optimization_end()

@@ -1,0 +1,10 @@
+"""Inference methods (reference: GPy/inference/latent_function_inference/)."""
+from .exact import LatentFunctionInference, ExactGaussianInference, ExactStudentTInference
+from .posterior import Posterior
+
+__all__ = [
+    "LatentFunctionInference",
+    "ExactGaussianInference",
+    "ExactStudentTInference",
+    "Posterior",
+]

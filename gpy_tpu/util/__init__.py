@@ -1,0 +1,4 @@
+from . import linalg
+from . import normalizer
+
+__all__ = ["linalg", "normalizer"]

@@ -72,41 +72,47 @@ def _chol_ok(L: jax.Array) -> jax.Array:
     return jnp.all(jnp.isfinite(L))
 
 
-@partial(jax.jit, static_argnames=("maxtries",))
-def _jitchol_impl(A: jax.Array, jitter0: jax.Array, maxtries: int):
+def _find_jitter(A: jax.Array, jitter0: jax.Array, maxtries: int):
+    """Smallest jitter from the escalation ladder making chol(A + jI) succeed.
+
+    Runs on a stop_gradient'd copy (while_loop is not reverse-differentiable);
+    the caller re-does ONE differentiable cholesky with the selected jitter.
+    Returns 0 when no jitter is needed.
+    """
+    A = lax.stop_gradient(A)
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
-
-    def try_chol(jit_amount):
-        return jnp.linalg.cholesky(A + jit_amount * eye)
-
-    L0 = jnp.linalg.cholesky(A)
+    ok0 = _chol_ok(jnp.linalg.cholesky(A))
 
     def cond(state):
-        L, jit_amount, tries = state
-        return (~_chol_ok(L)) & (tries <= maxtries)
+        ok, jit_amount, tries = state
+        return (~ok) & (tries <= maxtries)
 
     def body(state):
         _, jit_amount, tries = state
-        L = try_chol(jit_amount)
-        return L, jit_amount * 10.0, tries + 1
+        ok = _chol_ok(jnp.linalg.cholesky(A + jit_amount * eye))
+        return ok, jnp.where(ok, jit_amount, jit_amount * 10.0), tries + 1
 
-    L, jit_used, _ = lax.while_loop(cond, body, (L0, jitter0, jnp.array(0)))
-    return L, jit_used / 10.0
+    _, jit_used, _ = lax.while_loop(cond, body, (ok0, jitter0, jnp.array(0)))
+    return jnp.where(ok0, jnp.zeros_like(jit_used), jit_used)
 
 
 def jitchol(A: jax.Array, maxtries: int | None = None):
-    """Cholesky with escalating-jitter retry ladder.
+    """Cholesky with escalating-jitter retry ladder, reverse-mode safe.
 
-    GPy: util/linalg.py:56-82 (jitchol). Returns L (lower). Under jit the
-    ladder is a while_loop over NaN checks rather than exception handling.
+    GPy: util/linalg.py:56-82 (jitchol). The ladder (1e-6*mean(diag) start,
+    10x escalation, maxtries) runs as a compiled while_loop on a
+    stop_gradient'd copy; gradients flow through a single final cholesky.
     """
     if maxtries is None:
         maxtries = config.max_jitter_tries
     diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
-    jitter0 = jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
-    L, _ = _jitchol_impl(A, jitter0.astype(A.dtype), maxtries)
-    return L
+    jitter0 = lax.stop_gradient(
+        jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
+    )
+    jit_used = _find_jitter(A, jitter0, maxtries)
+    n = A.shape[-1]
+    return jnp.linalg.cholesky(A + jit_used * jnp.eye(n, dtype=A.dtype))
 
 
 def chol_jitter_used(A: jax.Array, maxtries: int | None = None):
@@ -114,8 +120,12 @@ def chol_jitter_used(A: jax.Array, maxtries: int | None = None):
     if maxtries is None:
         maxtries = config.max_jitter_tries
     diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
-    jitter0 = jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
-    return _jitchol_impl(A, jitter0.astype(A.dtype), maxtries)
+    jitter0 = lax.stop_gradient(
+        jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
+    )
+    jit_used = _find_jitter(A, jitter0, maxtries)
+    n = A.shape[-1]
+    return jnp.linalg.cholesky(A + jit_used * jnp.eye(n, dtype=A.dtype)), jit_used
 
 
 def dtrtrs(L: jax.Array, B: jax.Array, lower: bool = True, trans: bool = False):
