@@ -338,6 +338,17 @@ class Module:
     def copy(self) -> "Module":
         return copy.deepcopy(self)
 
+    def stop_gradient(self) -> "Module":
+        """Functional copy whose raw values are lax.stop_gradient'd.
+
+        Used by fixed-point inference (Laplace/EP) to run non-differentiable
+        convergence loops before a final differentiable step."""
+        import jax.lax as lax
+
+        return self.with_raw_dict(
+            {p: lax.stop_gradient(mod._raw[n]) for p, mod, n in self.named_params()}
+        )
+
     # --- flat vector interface (optimizer space) --------------------------
     def _free_entries(self):
         return [

@@ -1,0 +1,125 @@
+"""Expectation Propagation — parallel (batched) site updates.
+
+Reference: GPy/inference/latent_function_inference/expectation_propagation.py
+(622 LoC): EPBase:187, sequential random-permutation site loop with rank-1
+DSYR posterior updates:286-358, damping/eta (power EP), alternated vs nested
+modes, final grads:386-402.
+
+TPU design: sequential rank-1 site updates are hostile to XLA (data-dependent
+O(N) loop of O(N^2) updates). We run *parallel EP*: every site is updated
+simultaneously from the current posterior marginals with damping, then the
+posterior is recomputed with one O(N^3) Cholesky — MXU-shaped work, and the
+damped parallel iteration has the same fixed points as sequential EP (Minka).
+The convergence loop runs under lax.while_loop on stop_gradient'd inputs
+(sites are constants wrt hyperparameters, as in GPy); the EP log-marginal is
+then re-evaluated differentiably at the converged sites for jax.grad.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..util.linalg import jitchol
+from .exact import LatentFunctionInference
+from .posterior import Posterior
+
+__all__ = ["EP"]
+
+LOG_2_PI = float(np.log(2 * np.pi))
+
+
+def _posterior_from_sites(K, tau, v):
+    """Sigma = (K^{-1} + diag(tau))^{-1}, mu = Sigma v, via stable B-form."""
+    N = K.shape[0]
+    sT = jnp.sqrt(jnp.maximum(tau, 1e-300))[:, None]
+    B = jnp.eye(N, dtype=K.dtype) + (sT * K) * sT.T
+    L = jitchol(B)
+    # Sigma = K - K sT B^-1 sT K
+    V = jax.scipy.linalg.solve_triangular(L, sT * K, lower=True)  # L^-1 sT K
+    Sigma = K - V.T @ V
+    mu = Sigma @ v[:, None]
+    return Sigma, mu[:, 0], L
+
+
+class EP(LatentFunctionInference):
+    def __init__(self, epsilon: float = 1e-6, eta: float = 1.0, delta: float = 0.8,
+                 max_iters: int = 60, parallel_updates: bool = True):
+        """eta: power-EP fraction; delta: damping factor on site updates."""
+        self.epsilon = epsilon
+        self.eta = eta
+        self.delta = delta
+        self.max_iters = max_iters
+
+    # --- EP site convergence (no gradients) --------------------------------
+    def _converge_sites(self, K, likelihood, Y, Y_metadata):
+        K = lax.stop_gradient(K)
+        lik = likelihood.stop_gradient()
+        Ysg = lax.stop_gradient(Y)[:, 0]
+        N = K.shape[0]
+        dt = K.dtype
+        eta, delta = self.eta, self.delta
+
+        def sweep(carry):
+            tau, v, _, it = carry
+            Sigma, mu, _ = _posterior_from_sites(K, tau, v)
+            sig2 = jnp.clip(jnp.diagonal(Sigma), 1e-12, 1e12)
+            # cavity (fraction eta of the site removed)
+            tau_c = 1.0 / sig2 - eta * tau
+            v_c = mu / sig2 - eta * v
+            tau_c = jnp.maximum(tau_c, 1e-12)
+            logZ, mu_hat, s2_hat = lik.moments_match_ep(Ysg, tau_c, v_c, Y_metadata)
+            s2_hat = jnp.clip(s2_hat, 1e-12, 1e12)
+            tau_new = jnp.maximum((1.0 / s2_hat - tau_c) / eta, 0.0)
+            v_new = (mu_hat / s2_hat - v_c) / eta
+            tau2 = (1 - delta) * tau + delta * tau_new
+            v2 = (1 - delta) * v + delta * v_new
+            diff = jnp.max(jnp.abs(tau2 - tau)) + jnp.max(jnp.abs(v2 - v))
+            return tau2, v2, diff, it + 1
+
+        def cond(carry):
+            _, _, diff, it = carry
+            return (diff > self.epsilon) & (it < self.max_iters)
+
+        tau0 = jnp.zeros(N, dtype=dt)
+        v0 = jnp.zeros(N, dtype=dt)
+        tau, v, _, _ = lax.while_loop(cond, sweep, (tau0, v0, jnp.asarray(jnp.inf, dtype=dt), 0))
+        return lax.stop_gradient(tau), lax.stop_gradient(v)
+
+    # --- differentiable EP evidence at fixed sites -------------------------
+    def _log_marginal(self, K, likelihood, Y, Y_metadata, tau, v):
+        """R&W eq. 3.65/3.73, vectorized; sites are constants."""
+        N = K.shape[0]
+        Sigma, mu, L = _posterior_from_sites(K, tau, v)
+        sig2 = jnp.clip(jnp.diagonal(Sigma), 1e-12, 1e12)
+        eta = self.eta
+        tau_c = jnp.maximum(1.0 / sig2 - eta * tau, 1e-12)
+        v_c = mu / sig2 - eta * v
+        logZ_hat, _, _ = likelihood.moments_match_ep(Y[:, 0], tau_c, v_c, Y_metadata)
+        mu_c = v_c / tau_c
+        # log Z_EP  (R&W 3.65 with the 3.73 grouping)
+        term_det = -jnp.sum(jnp.log(jnp.diagonal(L)))  # -1/2 log|B|
+        term_quad = 0.5 * jnp.sum(v * (Sigma @ v))  # +1/2 v' Sigma v  (mu = Sigma v)
+        term_cavity = 0.5 * jnp.sum(
+            jnp.log1p(tau / tau_c)
+        ) + 0.5 * jnp.sum((mu_c**2 * tau_c * tau - 2 * mu_c * tau_c * v - v**2) / (tau_c + tau))
+        return jnp.sum(logZ_hat) + term_det + term_quad + term_cavity
+
+    def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
+        N, D = Y.shape
+        assert D == 1, "EP inference supports single-output models (as GPy)"
+        assert mean_function is None, "EP with explicit mean function not yet supported"
+        K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
+        tau, v = self._converge_sites(K, likelihood, Y, Y_metadata)
+        log_marginal = self._log_marginal(K, likelihood, Y, Y_metadata, tau, v)
+        # posterior container: woodbury form with S~^{1/2} B^{-1} S~^{1/2}
+        sT = jnp.sqrt(jnp.maximum(tau, 1e-300))[:, None]
+        B = jnp.eye(N, dtype=K.dtype) + (sT * K) * sT.T
+        L = jitchol(B)
+        Bi = jax.scipy.linalg.cho_solve((L, True), jnp.eye(N, dtype=K.dtype))
+        woodbury_inv = (sT * Bi) * sT.T
+        # mean weights: alpha = (K + S^-1)^-1 mu~ = sT B^-1 sT (v/tau) -> use v
+        alpha = (v[:, None] - (sT * (Bi @ (sT * (K @ v[:, None])))))
+        posterior = Posterior(woodbury_vector=alpha, woodbury_inv=woodbury_inv, K=K)
+        return posterior, log_marginal

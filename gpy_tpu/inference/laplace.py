@@ -1,0 +1,122 @@
+"""Laplace approximation for non-Gaussian likelihoods.
+
+Reference: GPy/inference/latent_function_inference/laplace.py (Laplace:24,
+rasm_mode:148-231 Rasmussen-stable Newton with Brent line search,
+mode_computations:233-307, _compute_B_statistics:308-354, and the bespoke
+explicit+implicit dL_dthetaL algebra).
+
+TPU design:
+  * Mode finding = damped Newton under `lax.while_loop` with a *vectorized*
+    backtracking line search (all candidate step sizes evaluated in one shot
+    and argmax'd — the parallel replacement for GPy's sequential Brent
+    search). Runs on stop_gradient'd inputs.
+  * Hyperparameter gradients come from ONE differentiable Newton step taken
+    from the converged mode: the Newton map N(f, theta) has dN/df = 0 at its
+    root, so d/dtheta N(stop_grad(f*), theta) is the exact implicit-function
+    derivative df*/dtheta. This single step replaces GPy's ~300 lines of
+    explicit/implicit gradient algebra.
+  * Non-log-concave likelihoods (StudentT): W may be negative, so the
+    B = I + sqrt(W) K sqrt(W) trick is invalid; we use the general
+    (I + W K) LU factorization (K^-1 + W is still PD at a mode), with
+    slogdet for the evidence — all differentiable under JAX.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..util.linalg import jitchol
+from .exact import LatentFunctionInference
+from .posterior import Posterior
+
+__all__ = ["Laplace"]
+
+
+def _W_grad(f, likelihood, Y, Y_metadata, m):
+    W = -likelihood.d2_logpdf_df2(f + m, Y, Y_metadata)
+    grad = likelihood.d_logpdf_df(f + m, Y, Y_metadata)
+    return W, grad
+
+
+def _newton_direction(f, K, likelihood, Y, Y_metadata, m):
+    """Full Newton target: f_nt = K (I + W K)^{-1} (W f + grad).
+
+    Valid for any sign of W (general LU solve). Returns (f_nt, a) with
+    f_nt = K @ a exactly.
+    """
+    W, grad = _W_grad(f, likelihood, Y, Y_metadata, m)
+    N = K.shape[0]
+    b = W * f + grad  # (N,1)
+    A = jnp.eye(N, dtype=K.dtype) + W * K  # (I + diag(W) K)
+    a = jnp.linalg.solve(A, b)
+    return K @ a, a
+
+
+class Laplace(LatentFunctionInference):
+    def __init__(self, max_iters: int = 100, tol: float = 1e-10, n_linesearch: int = 12):
+        self.max_iters = max_iters
+        self.tol = tol
+        self.n_linesearch = n_linesearch
+
+    def _find_mode(self, K, likelihood, Y, Y_metadata, m):
+        """Damped Newton to convergence; no gradients flow."""
+        K = lax.stop_gradient(K)
+        lik = likelihood.stop_gradient()
+        Ysg = lax.stop_gradient(Y)
+        msg = lax.stop_gradient(m)
+        dt = K.dtype
+        L_K = jitchol(K)
+        steps = jnp.asarray(2.0 ** -np.arange(self.n_linesearch), dtype=dt)  # 1, 1/2, ...
+
+        def psi(f):
+            Kinv_f = jax.scipy.linalg.cho_solve((L_K, True), f)
+            return jnp.sum(lik.logpdf(f + msg, Ysg, Y_metadata)) - 0.5 * jnp.sum(f * Kinv_f)
+
+        def body(state):
+            f, prev_psi, _, it = state
+            f_nt, _ = _newton_direction(f, K, lik, Ysg, Y_metadata, msg)
+            d = f_nt - f
+            cand = f[None, :, :] + steps[:, None, None] * d[None, :, :]
+            vals = jax.vmap(psi)(cand)
+            best = jnp.argmax(vals)
+            f_new = cand[best]
+            new_psi = vals[best]
+            # keep old point if no candidate improves (safeguard)
+            improved = new_psi > prev_psi
+            f_new = jnp.where(improved, f_new, f)
+            new_psi = jnp.where(improved, new_psi, prev_psi)
+            return f_new, new_psi, jnp.abs(new_psi - prev_psi), it + 1
+
+        def cond(state):
+            _, _, delta, it = state
+            return (delta > self.tol) & (it < self.max_iters)
+
+        f0 = jnp.zeros_like(Y)
+        state0 = (f0, psi(f0), jnp.asarray(jnp.inf, dtype=dt), 0)
+        f, _, _, _ = lax.while_loop(cond, body, state0)
+        return lax.stop_gradient(f)
+
+    def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
+        N, D = Y.shape
+        assert D == 1, "Laplace inference supports single-output models (as GPy)"
+        m = mean_function.f(X) if mean_function is not None else jnp.zeros_like(Y)
+        K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
+        f_star = self._find_mode(K, likelihood, Y, Y_metadata, m)
+        # one differentiable Newton step from the converged mode
+        f_hat, a = _newton_direction(lax.stop_gradient(f_star), K, likelihood, Y, Y_metadata, m)
+        # evidence at the (differentiable) mode
+        W, _ = _W_grad(f_hat, likelihood, Y, Y_metadata, m)
+        A = jnp.eye(N, dtype=K.dtype) + W * K  # I + diag(W) K
+        sign, logdetA = jnp.linalg.slogdet(A)
+        log_marginal = (
+            jnp.sum(likelihood.logpdf(f_hat + m, Y, Y_metadata))
+            - 0.5 * jnp.sum(a * f_hat)
+            - 0.5 * logdetA
+        )
+        # (K + W^{-1})^{-1} = (I + W K)^{-1} W   (no 1/W — safe for W<=0)
+        Ai_W = jnp.linalg.solve(A, jnp.diag(W[:, 0]))
+        woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
+        posterior = Posterior(woodbury_vector=a, woodbury_inv=woodbury_inv, K=K)
+        return posterior, log_marginal

@@ -1,0 +1,129 @@
+"""Approximate inference tests: Laplace & EP.
+
+Mirrors GPy/testing/test_inference.py:57-235 — the key oracle is *method
+equivalence*: with a Gaussian likelihood, Laplace and EP must reproduce exact
+inference (log-marginal and posterior); for classification, EP ~ Laplace and
+both must pass gradient checks and produce calibrated predictive probs.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpy_tpu.core.gp import GP
+from gpy_tpu.inference import ExactGaussianInference, Laplace, EP
+from gpy_tpu.likelihoods import Gaussian, Bernoulli, StudentT, Poisson
+from gpy_tpu.models import GPClassification, GPClassificationLaplace, GPRegression
+import gpy_tpu.kern as gk
+
+rng = np.random.default_rng(3)
+
+
+def _banana(n=40):
+    X = rng.standard_normal((n, 2))
+    f = np.sin(2 * X[:, 0]) + 0.5 * X[:, 1]
+    Y = (f + 0.3 * rng.standard_normal(n) > 0).astype(float).reshape(-1, 1)
+    return X, Y
+
+
+def test_laplace_equals_exact_for_gaussian():
+    """Gaussian likelihood: the Laplace approximation is exact (GPy
+    test_inference.py pattern)."""
+    X = np.linspace(0, 4, 18).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rng.standard_normal((18, 1))
+    lik = Gaussian(variance=0.1)
+    k = gk.RBF(1, variance=1.3, lengthscale=0.8)
+    exact_post, exact_lml = ExactGaussianInference().inference(k, jnp.asarray(X), lik, jnp.asarray(Y))
+    lap_post, lap_lml = Laplace().inference(k, jnp.asarray(X), lik, jnp.asarray(Y))
+    assert float(lap_lml) == pytest.approx(float(exact_lml), rel=1e-6)
+    mu1, v1 = exact_post._raw_predict(k, jnp.asarray([[1.5]]), jnp.asarray(X))
+    mu2, v2 = lap_post._raw_predict(k, jnp.asarray([[1.5]]), jnp.asarray(X))
+    assert float(mu1[0, 0]) == pytest.approx(float(mu2[0, 0]), rel=1e-5)
+    assert float(v1[0, 0]) == pytest.approx(float(v2[0, 0]), rel=1e-4)
+
+
+def test_ep_equals_exact_for_gaussian():
+    X = np.linspace(0, 4, 15).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rng.standard_normal((15, 1))
+    lik = Gaussian(variance=0.2)
+    k = gk.RBF(1, variance=1.0, lengthscale=1.0)
+    exact_post, exact_lml = ExactGaussianInference().inference(k, jnp.asarray(X), lik, jnp.asarray(Y))
+    ep_post, ep_lml = EP(max_iters=200, delta=1.0).inference(k, jnp.asarray(X), lik, jnp.asarray(Y))
+    # note exact inference adds 1e-8 observation jitter; EP adds 1e-8 kernel jitter
+    assert float(ep_lml) == pytest.approx(float(exact_lml), rel=1e-5)
+    mu1, v1 = exact_post._raw_predict(k, jnp.asarray([[2.0]]), jnp.asarray(X))
+    mu2, v2 = ep_post._raw_predict(k, jnp.asarray([[2.0]]), jnp.asarray(X))
+    assert float(mu1[0, 0]) == pytest.approx(float(mu2[0, 0]), rel=1e-4)
+    assert float(v1[0, 0]) == pytest.approx(float(v2[0, 0]), rel=1e-3)
+
+
+def test_classification_ep_checkgrad():
+    X, Y = _banana(25)
+    m = GPClassification(X, Y)
+    assert m.checkgrad()
+
+
+def test_classification_laplace_checkgrad():
+    X, Y = _banana(25)
+    m = GPClassificationLaplace(X, Y)
+    assert m.checkgrad()
+
+
+def test_classification_ep_vs_laplace_predictions():
+    X, Y = _banana(50)
+    m1 = GPClassification(X, Y)
+    m2 = GPClassificationLaplace(X, Y)
+    p1, _ = m1.predict(X)
+    p2, _ = m2.predict(X)
+    # both are approximations of the same posterior; should agree coarsely
+    assert np.mean(np.abs(p1 - p2)) < 0.12
+    # and classify training data better than chance
+    acc = np.mean((p1 > 0.5) == (Y > 0.5))
+    assert acc > 0.7
+
+
+def test_classification_optimize():
+    X, Y = _banana(40)
+    m = GPClassification(X, Y)
+    ll0 = float(m.log_likelihood())
+    m.optimize(max_iters=50)
+    assert float(m.log_likelihood()) >= ll0 - 1e-6
+    p, _ = m.predict(X)
+    assert np.mean((p > 0.5) == (Y > 0.5)) > 0.75
+
+
+def test_laplace_studentt_regression():
+    """StudentT + Laplace (non-log-concave path). GPy test_model.py pattern."""
+    n = 25
+    X = np.linspace(0, 4, n).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rng.standard_normal((n, 1))
+    Y[5] += 3.0  # outlier
+    lik = StudentT(deg_free=4.0, sigma2=0.1)
+    m = GP(X, Y, gk.RBF(1), lik, inference_method=Laplace(), name="tgp")
+    assert m.checkgrad()
+    m.optimize(max_iters=80)
+    mu, _ = m.predict(X, include_likelihood=False)
+    # robust fit: the outlier point is not chased
+    assert abs(mu[5, 0] - np.sin(X[5, 0])) < 1.0
+
+
+def test_laplace_poisson_counts():
+    n = 30
+    X = np.linspace(0, 4, n).reshape(-1, 1)
+    rate = np.exp(np.sin(X) + 1.0)
+    Y = rng.poisson(rate).astype(float)
+    m = GP(X, Y, gk.RBF(1), Poisson(), inference_method=Laplace(), name="poisgp")
+    assert m.checkgrad()
+    m.optimize(max_iters=80)
+    mu, _ = m.predict(X)  # predictive mean of counts
+    assert np.corrcoef(mu[:, 0], rate[:, 0])[0, 1] > 0.8
+
+
+def test_ep_poisson_quadrature_moments():
+    """EP with quadrature-based moment matching (non-analytic likelihood)."""
+    n = 20
+    X = np.linspace(0, 4, n).reshape(-1, 1)
+    Y = rng.poisson(np.exp(np.sin(X))).astype(float)
+    m = GP(X, Y, gk.RBF(1), Poisson(), inference_method=EP(max_iters=80, delta=0.5), name="poisep")
+    ll = float(m.log_likelihood())
+    assert np.isfinite(ll)
+    assert m.checkgrad()
