@@ -1,0 +1,102 @@
+"""VarDTC — Titsias collapsed variational sparse bound.
+
+Reference: GPy/inference/latent_function_inference/var_dtc.py:66-276 (certain
+and uncertain inputs, heteroscedastic noise, Cacher'd Y factors) and the
+distributed psi-stat accumulation of var_dtc_parallel.py (replaced here by
+sharded einsums + psum in parallel/).
+
+TPU design: the bound is one pure function — Kmn/psi-stat contractions are
+matmuls on the MXU; every dL_dpsi/dL_dKmm/dL_dR hand-derivation in the
+reference (var_dtc.py:219-262) is replaced by jax.grad, which also gives
+dF/dZ and dF/d(qX mean,var) for free (BGPLVM path).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..util.linalg import jitchol
+from .exact import LatentFunctionInference
+from .posterior import Posterior
+
+__all__ = ["VarDTC"]
+
+LOG_2_PI = float(np.log(2 * np.pi))
+CONST_JITTER = 1e-6
+
+
+def _sparse_terms(kern, X, Z, W, Y, qX=None):
+    """Shared quantities for collapsed sparse bounds.
+
+    Returns (L, LB, A_trace, c, psi0_weighted_sum, M).
+      L  = chol(Kmm + jitter)
+      LB = chol(I + L^-1 [sum_n W_n psi2_n] L^-T)
+      c  = LB^-1 L^-1 (Psi1' W Y)
+    """
+    M = Z.shape[0]
+    Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+    L = jitchol(Kmm)
+    if qX is None:
+        Kmn = kern.K(Z, X)  # (M, N)
+        A = jsl.solve_triangular(L, Kmn * jnp.sqrt(W)[None, :], lower=True)
+        AAT = A @ A.T
+        psi1WY = Kmn @ (W[:, None] * Y)
+        psi0_sum = jnp.sum(W * kern.Kdiag(X))
+    else:
+        psi1 = kern.psi1(Z, qX)  # (N, M)
+        psi2n = kern.psi2n(Z, qX)  # (N, M, M)
+        Psi2W = jnp.einsum("n,nmk->mk", W, psi2n)
+        tmp = jsl.solve_triangular(L, Psi2W, lower=True)
+        AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
+        AAT = 0.5 * (AAT + AAT.T)
+        psi1WY = psi1.T @ (W[:, None] * Y)
+        psi0_sum = jnp.sum(W * kern.psi0(Z, qX))
+    B = jnp.eye(M, dtype=Z.dtype) + AAT
+    LB = jitchol(B)
+    c = jsl.solve_triangular(LB, jsl.solve_triangular(L, psi1WY, lower=True), lower=True)
+    return L, LB, AAT, c, psi0_sum
+
+
+class VarDTC(LatentFunctionInference):
+    """Collapsed variational bound (Titsias 2009), Gaussian likelihood."""
+
+    def __init__(self, limit: int = 1):
+        pass
+
+    def inference(self, kern, X, Z, likelihood, Y, mean_function=None,
+                  Y_metadata=None, qX=None):
+        assert mean_function is None, "VarDTC with mean function: subtract externally"
+        N = Y.shape[0]
+        D = Y.shape[1]
+        M = Z.shape[0]
+        W = 1.0 / (likelihood.noise_diagonal(N, Y_metadata))  # per-point precision
+        L, LB, AAT, c, psi0_sum = _sparse_terms(kern, X, Z, W, Y, qX)
+        log_marginal = (
+            -0.5 * N * D * LOG_2_PI
+            + 0.5 * D * jnp.sum(jnp.log(W))
+            - D * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            - 0.5 * jnp.sum(W[:, None] * Y * Y)
+            + 0.5 * jnp.sum(c * c)
+            - 0.5 * D * (psi0_sum - jnp.trace(AAT))
+        )
+        posterior = self._posterior(kern, Z, L, LB, c)
+        return posterior, log_marginal
+
+    def _posterior(self, kern, Z, L, LB, c):
+        M = Z.shape[0]
+        # woodbury_vector = L^-T LB^-T c
+        wv = jsl.solve_triangular(
+            L, jsl.solve_triangular(LB, c, lower=True, trans=1), lower=True, trans=1
+        )
+        # woodbury_inv = L^-T (I - B^-1) L^-1
+        Bi = jsl.cho_solve((LB, True), jnp.eye(M, dtype=Z.dtype))
+        tmp = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype) - Bi, lower=True, trans=1)
+        wi = jsl.solve_triangular(L, tmp.T, lower=True, trans=1).T
+        wi = 0.5 * (wi + wi.T)
+        return Posterior(woodbury_vector=wv, woodbury_inv=wi, K=kern.K(Z))
+
+    def marginal_likelihood(self, kern, X, Z, likelihood, Y, mean_function=None,
+                            Y_metadata=None, qX=None):
+        return self.inference(kern, X, Z, likelihood, Y, mean_function, Y_metadata, qX)[1]
