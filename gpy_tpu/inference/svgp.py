@@ -1,0 +1,109 @@
+"""SVGP — uncollapsed stochastic variational ELBO (Hensman et al. 2013/15).
+
+Reference: GPy/inference/latent_function_inference/svgp.py:10-121 (q(f)
+marginals, GH-quadrature variational expectations, KL, and ~70 lines of
+hand-written gradients wrt m, chol(S), Kmm, Kmn) and GPy/core/svgp.py.
+
+TPU design: the ELBO is one pure jittable function of
+(q_u_mean, q_u_chol_flat, Z, kern, likelihood); batch_scale rescales the
+data term for minibatching; `jax.grad` supplies every gradient including
+through the flat-chol packing (replacing choleskies_cython backprop). This
+function is the unit that gets `shard_map`'d over the data axis with psum
+in parallel/sharded.py — the TPU replacement of GPy's MPI Allreduce.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..util.choleskies import flat_to_triang
+from ..util.linalg import jitchol
+from .exact import LatentFunctionInference
+from .posterior import Posterior
+
+__all__ = ["SVGPInference", "svgp_elbo_parts"]
+
+LOG_2_PI = float(np.log(2 * np.pi))
+CONST_JITTER = 1e-6
+
+
+def q_f_marginals(kern, X, Z, q_u_mean, L_u):
+    """Marginals of q(f) = int p(f|u) q(u) du.
+
+    q_u_mean: (M, D); L_u: (D, M, M) lower chol of S.
+    Returns (mu (N,D), var (N,D), Lmm, Kmm).
+    """
+    M = Z.shape[0]
+    Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+    Lmm = jitchol(Kmm)
+    Kmn = kern.K(Z, X)  # (M, N)
+    A = jsl.cho_solve((Lmm, True), Kmn)  # Kmm^-1 Kmn, (M, N)
+    mu = A.T @ q_u_mean  # (N, D)
+    Kdiag = kern.Kdiag(X)  # (N,)
+    # var_nd = Kdiag_n - sum_m A_mn Kmn_mn + sum (A' S A)_nn per output d
+    AKmn = jnp.sum(A * Kmn, axis=0)  # diag(Knm Kmm^-1 Kmn)
+    SA = jnp.einsum("dij,jn->din", L_u.transpose(0, 2, 1), A)  # L' A  (D, M, N)
+    ASA = jnp.sum(SA**2, axis=1).T  # (N, D)
+    var = (Kdiag - AKmn)[:, None] + ASA
+    return mu, jnp.maximum(var, 1e-12), Lmm, Kmm
+
+
+def kl_qu_pu(q_u_mean, L_u, Lmm):
+    """KL(q(u) || p(u)) summed over output dims.
+
+    q(u)=N(m, LL'), p(u)=N(0, Kmm) with chol Lmm.
+    """
+    M = L_u.shape[-1]
+    D = q_u_mean.shape[1]
+    import jax
+
+    Li_m = jsl.solve_triangular(Lmm, q_u_mean, lower=True)  # (M, D)
+    mahal = jnp.sum(Li_m**2)
+
+    def tr_term(Ld):
+        V = jsl.solve_triangular(Lmm, Ld, lower=True)
+        return jnp.sum(V * V)
+
+    trace = jnp.sum(jax.vmap(tr_term)(L_u))
+    logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lmm)))
+    logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L_u, axis1=-2, axis2=-1))))
+    return 0.5 * (trace + mahal - M * D + D * logdet_K - logdet_S)
+
+
+def svgp_elbo_parts(kern, X, Z, likelihood, Y, q_u_mean, q_u_chol_flat,
+                    Y_metadata=None, batch_scale=1.0, mean_function=None):
+    """Returns (datafit_sum, KL). ELBO = batch_scale * datafit - KL."""
+    M = Z.shape[0]
+    D = Y.shape[1]
+    L_u = flat_to_triang(q_u_chol_flat, M)  # (D, M, M)
+    mu, var, Lmm, _ = q_f_marginals(kern, X, Z, q_u_mean, L_u)
+    if mean_function is not None:
+        mu = mu + mean_function.f(X)
+    F = likelihood.variational_expectations(Y, mu, var, Y_metadata)
+    kl = kl_qu_pu(q_u_mean, L_u, Lmm)
+    return jnp.sum(F) * batch_scale, kl
+
+
+class SVGPInference(LatentFunctionInference):
+    """ELBO evaluation + posterior container for the SVGP model."""
+
+    def inference(self, kern, X, Z, likelihood, Y, q_u_mean, q_u_chol_flat,
+                  Y_metadata=None, batch_scale=1.0, mean_function=None):
+        datafit, kl = svgp_elbo_parts(
+            kern, X, Z, likelihood, Y, q_u_mean, q_u_chol_flat, Y_metadata, batch_scale, mean_function
+        )
+        log_marginal = datafit - kl
+        M = Z.shape[0]
+        L_u = flat_to_triang(q_u_chol_flat, M)
+        Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+        Lmm = jitchol(Kmm)
+        # woodbury form: mean = Kxm Kmm^-1 m  => wv = Kmm^-1 m
+        wv = jsl.cho_solve((Lmm, True), q_u_mean)
+        # cov = Kxx - Kxm [Kmm^-1 - Kmm^-1 S Kmm^-1] Kmx  (per output; use d=0)
+        S = L_u[0] @ L_u[0].T
+        KiSKi = jsl.cho_solve((Lmm, True), jsl.cho_solve((Lmm, True), S).T)
+        Kmmi = jsl.cho_solve((Lmm, True), jnp.eye(M, dtype=Z.dtype))
+        wi = Kmmi - KiSKi
+        posterior = Posterior(woodbury_vector=wv, woodbury_inv=0.5 * (wi + wi.T), K=Kmm)
+        return posterior, log_marginal

@@ -1,0 +1,105 @@
+"""SVGP tests. Mirrors GPy/testing/test_svgp.py (grad checks for Gaussian /
+classification / Poisson) plus: ELBO <= exact log-marginal, collapsed-bound
+recovery at the optimum, natural-gradient one-step optimality for fixed
+hypers (Gaussian case).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpy_tpu.core.svgp import SVGP
+from gpy_tpu.models import GPRegression
+from gpy_tpu.models.sparse_gp_regression import SparseGPRegression
+from gpy_tpu.likelihoods import Gaussian, Bernoulli, Poisson
+import gpy_tpu.kern as gk
+
+rng = np.random.default_rng(11)
+
+
+def _toy(n=30):
+    X = np.linspace(0, 5, n).reshape(n, 1)
+    Y = np.sin(X) + 0.2 * rng.standard_normal((n, 1))
+    return X, Y
+
+
+def test_elbo_is_lower_bound():
+    X, Y = _toy(25)
+    m = SVGP(X, Y, X[::3].copy(), gk.RBF(1), Gaussian(variance=0.1))
+    exact = GPRegression(X, Y, noise_var=0.1)
+    assert float(m.log_likelihood()) <= float(exact.log_likelihood()) + 1e-6
+
+
+def test_checkgrad_gaussian():
+    X, Y = _toy(15)
+    m = SVGP(X, Y, X[::4].copy(), gk.RBF(1), Gaussian(variance=0.2))
+    assert m.checkgrad()
+
+
+def test_checkgrad_classification():
+    X, Y = _toy(15)
+    Yc = (Y > 0).astype(float)
+    m = SVGP(X, Yc, X[::4].copy(), gk.RBF(1), Bernoulli())
+    assert m.checkgrad()
+
+
+def test_checkgrad_poisson():
+    X, _ = _toy(15)
+    Y = rng.poisson(np.exp(np.sin(X))).astype(float)
+    m = SVGP(X, Y, X[::4].copy(), gk.RBF(1), Poisson())
+    assert m.checkgrad()
+
+
+def test_optimized_svgp_approaches_collapsed_bound():
+    """At the optimum over (m, S), the uncollapsed ELBO equals the collapsed
+    VarDTC bound (Titsias) for Gaussian likelihood — with matched Z/hypers."""
+    X, Y = _toy(25)
+    Z = X[::3].copy()
+    collapsed = SparseGPRegression(X, Y, Z=Z.copy(), noise_var=0.1)
+    collapsed.kern.lengthscale = 1.0
+
+    m = SVGP(X, Y, Z.copy(), gk.RBF(1), Gaussian(variance=0.1))
+    m.kern.lengthscale = 1.0
+    # optimize only the variational params
+    for path, mod, n in m.named_params():
+        if n not in ("q_u_mean", "q_u_chol"):
+            mod._specs[n].fixed = True
+    m.optimize(max_iters=500)
+    assert float(m.log_likelihood()) == pytest.approx(float(collapsed.log_likelihood()), abs=0.05)
+
+
+def test_natgrad_single_step_optimal_gaussian():
+    """For Gaussian likelihood and lr=1, one natural-gradient step lands on
+    the exact optimal q(u) (conjugate case)."""
+    X, Y = _toy(20)
+    Z = X[::3].copy()
+    m = SVGP(X, Y, Z.copy(), gk.RBF(1), Gaussian(variance=0.1))
+    elbo_before = float(m.log_likelihood())
+    m.fit(iters=1, batchsize=20, step_size=0.0, natgrad_step_size=1.0, seed=0)
+    elbo_mid = float(m.log_likelihood())
+    m.fit(iters=1, batchsize=20, step_size=0.0, natgrad_step_size=1.0, seed=1)
+    elbo_after = float(m.log_likelihood())
+    assert elbo_mid > elbo_before
+    # second step barely moves (already at the conjugate optimum)
+    assert abs(elbo_after - elbo_mid) < 1e-5 * max(1.0, abs(elbo_mid))
+    # and matches collapsed bound
+    collapsed = SparseGPRegression(X, Y, Z=Z.copy(), noise_var=0.1)
+    assert elbo_after == pytest.approx(float(collapsed.log_likelihood()), abs=1e-4)
+
+
+def test_fit_stochastic_improves():
+    X, Y = _toy(60)
+    m = SVGP(X, Y, X[::6].copy(), gk.RBF(1), Gaussian(variance=0.5), batchsize=15)
+    e0 = float(m.log_likelihood())
+    trace = m.fit(iters=200, batchsize=15, step_size=5e-2, natgrad_step_size=0.2)
+    assert float(m.log_likelihood()) > e0
+    # predictions sensible
+    mu, _ = m.predict(X)
+    assert np.sqrt(np.mean((mu - Y) ** 2)) < 0.4
+
+
+def test_stochastic_grad_api():
+    X, Y = _toy(30)
+    m = SVGP(X, Y, X[::4].copy(), gk.RBF(1), Gaussian(), batchsize=10)
+    g = m.stochastic_grad()
+    assert g.shape == (m.num_free_params,)
+    assert np.all(np.isfinite(g))
