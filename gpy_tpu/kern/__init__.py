@@ -18,6 +18,16 @@ from .static import Static, White, Bias, Fixed, WhiteHeteroscedastic, Precompute
 from .periodic import StdPeriodic, PeriodicExponential, PeriodicMatern32, PeriodicMatern52
 from .misc import MLP, Poly, Brownian, Spline
 from .coregionalize import Coregionalize, IndependentOutputs, Hierarchical
+from .basis_funcs import (
+    BasisFuncKernel,
+    PolynomialBasisFuncKernel,
+    LinearSlopeBasisFuncKernel,
+    ChangePointBasisFuncKernel,
+    DomainKernel,
+    LogisticBasisFuncKernel,
+)
+from .integral import Integral, Integral_Limits, Multidimensional_Integral_Limits
+from .symmetric import Symmetric, SplitKern, DEtime, GridRBF
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
 
 __all__ = [
@@ -29,4 +39,8 @@ __all__ = [
     "StdPeriodic", "PeriodicExponential", "PeriodicMatern32", "PeriodicMatern52",
     "MLP", "Poly", "Brownian", "Spline",
     "Coregionalize", "IndependentOutputs", "Hierarchical",
+    "BasisFuncKernel", "PolynomialBasisFuncKernel", "LinearSlopeBasisFuncKernel",
+    "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
+    "Integral", "Integral_Limits", "Multidimensional_Integral_Limits",
+    "Symmetric", "SplitKern", "DEtime", "GridRBF",
 ]

@@ -155,6 +155,17 @@ class Exponential(Stationary):
     def K_of_r(self, r):
         return jnp.asarray(self.variance) * jnp.exp(-r)
 
+    def sde(self):
+        """Matern-1/2 state space form (GPy: sde_matern.py Matern12)."""
+        v = jnp.asarray(self.variance)
+        ls = jnp.asarray(self.lengthscale).reshape(-1)[0]
+        F = (-1.0 / ls).reshape(1, 1)
+        L = jnp.ones((1, 1))
+        Qc = (2.0 * v / ls).reshape(1, 1)
+        H = jnp.ones((1, 1))
+        Pinf = v.reshape(1, 1)
+        return F, L, Qc, H, Pinf
+
 
 class OU(Exponential):
     """Ornstein-Uhlenbeck == Matern 1/2 (GPy: stationary.py:420)."""
@@ -174,15 +185,17 @@ class Matern32(Stationary):
         return jnp.asarray(self.variance) * (1.0 + s3 * r) * jnp.exp(-s3 * r)
 
     def sde(self):
-        """State-space form (F, L, Qc, H, Pinf). GPy: stationary.py:520-554."""
-        v = float(np.asarray(self.variance))
-        ls = float(np.asarray(self.lengthscale).reshape(-1)[0])
+        """State-space form (F, L, Qc, H, Pinf), traceable for autodiff
+        through the Kalman recursion. GPy: stationary.py:520-554."""
+        v = jnp.asarray(self.variance)
+        ls = jnp.asarray(self.lengthscale).reshape(-1)[0]
         lam = np.sqrt(3.0) / ls
-        F = np.array([[0.0, 1.0], [-lam**2, -2 * lam]])
-        L = np.array([[0.0], [1.0]])
-        Qc = np.array([[12.0 * np.sqrt(3.0) / ls**3 * v]])
-        H = np.array([[1.0, 0.0]])
-        Pinf = np.array([[v, 0.0], [0.0, 3.0 * v / ls**2]])
+        z = jnp.zeros(())
+        F = jnp.stack([jnp.stack([z, z + 1.0]), jnp.stack([-(lam**2), -2 * lam])])
+        L = jnp.asarray([[0.0], [1.0]])
+        Qc = (12.0 * np.sqrt(3.0) * v / ls**3).reshape(1, 1)
+        H = jnp.asarray([[1.0, 0.0]])
+        Pinf = jnp.stack([jnp.stack([v, z]), jnp.stack([z, 3.0 * v / ls**2])])
         return F, L, Qc, H, Pinf
 
 
@@ -200,21 +213,25 @@ class Matern52(Stationary):
         )
 
     def sde(self):
-        v = float(np.asarray(self.variance))
-        ls = float(np.asarray(self.lengthscale).reshape(-1)[0])
+        v = jnp.asarray(self.variance)
+        ls = jnp.asarray(self.lengthscale).reshape(-1)[0]
         lam = np.sqrt(5.0) / ls
-        F = np.array([[0, 1, 0], [0, 0, 1], [-(lam**3), -3 * lam**2, -3 * lam]], dtype=float)
-        L = np.array([[0.0], [0.0], [1.0]])
-        Qc = np.array([[v * 400.0 * np.sqrt(5.0) / 3.0 / ls**5]])
-        H = np.array([[1.0, 0.0, 0.0]])
+        z = jnp.zeros(())
+        o = jnp.ones(())
+        F = jnp.stack([
+            jnp.stack([z, o, z]),
+            jnp.stack([z, z, o]),
+            jnp.stack([-(lam**3), -3 * lam**2, -3 * lam]),
+        ])
+        L = jnp.asarray([[0.0], [0.0], [1.0]])
+        Qc = (v * 400.0 * np.sqrt(5.0) / 3.0 / ls**5).reshape(1, 1)
+        H = jnp.asarray([[1.0, 0.0, 0.0]])
         kappa = 5.0 / 3.0 * v / ls**2
-        Pinf = np.array(
-            [
-                [v, 0.0, -kappa],
-                [0.0, kappa, 0.0],
-                [-kappa, 0.0, 25.0 * v / ls**4],
-            ]
-        )
+        Pinf = jnp.stack([
+            jnp.stack([v, z, -kappa]),
+            jnp.stack([z, kappa, z]),
+            jnp.stack([-kappa, z, 25.0 * v / ls**4]),
+        ])
         return F, L, Qc, H, Pinf
 
 

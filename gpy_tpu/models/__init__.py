@@ -1,5 +1,47 @@
 """Models zoo (public names mirror GPy/models/__init__.py)."""
 from .gp_regression import GPRegression
 from .gp_classification import GPClassification, GPClassificationLaplace
+from .sparse_gp_regression import SparseGPRegression
+from .sparse_gp_classification import (
+    SparseGPClassification,
+    SparseGPClassificationUncertainInput,
+)
+from .gplvm import GPLVM, SparseGPLVM, BayesianGPLVM, MRD
+from .warped_gp import WarpedGP, InputWarpedGP
+from .tp_regression import TPRegression
+from .gp_coregionalized_regression import (
+    GPCoregionalizedRegression,
+    SparseGPCoregionalizedRegression,
+    GPHeteroscedasticRegression,
+    GPOffsetRegression,
+)
+from .gp_var_gauss import GPVariationalGaussianApproximation
+from .one_vs_all_classification import OneVsAllClassification, OneVsAllSparseClassification
+from .gp_kronecker_gaussian_regression import GPKroneckerGaussianRegression, GPRegressionGrid
+from ..core.svgp import SVGP
 
-__all__ = ["GPRegression", "GPClassification", "GPClassificationLaplace"]
+__all__ = [
+    "GPRegression",
+    "GPClassification",
+    "GPClassificationLaplace",
+    "SparseGPRegression",
+    "SparseGPClassification",
+    "SparseGPClassificationUncertainInput",
+    "GPLVM",
+    "SparseGPLVM",
+    "BayesianGPLVM",
+    "MRD",
+    "WarpedGP",
+    "InputWarpedGP",
+    "TPRegression",
+    "GPCoregionalizedRegression",
+    "SparseGPCoregionalizedRegression",
+    "GPHeteroscedasticRegression",
+    "GPOffsetRegression",
+    "GPVariationalGaussianApproximation",
+    "OneVsAllClassification",
+    "OneVsAllSparseClassification",
+    "GPKroneckerGaussianRegression",
+    "GPRegressionGrid",
+    "SVGP",
+]

@@ -106,13 +106,15 @@ def jitchol(A: jax.Array, maxtries: int | None = None):
     """
     if maxtries is None:
         maxtries = config.max_jitter_tries
-    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
-    jitter0 = lax.stop_gradient(
-        jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
-    )
+    diag_mean = jnp.abs(jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1)))
+    jitter0 = lax.stop_gradient(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
     jit_used = _find_jitter(A, jitter0, maxtries)
+    # gradient-consistent jitter: the ladder picks a stop-gradient *level*,
+    # but the applied jitter scales differentiably with the matrix magnitude
+    # (so e.g. d/d(kern.variance) sees jitter ∝ variance, matching the value).
+    mult = jit_used / jnp.maximum(lax.stop_gradient(diag_mean), 1e-300)
     n = A.shape[-1]
-    return jnp.linalg.cholesky(A + jit_used * jnp.eye(n, dtype=A.dtype))
+    return jnp.linalg.cholesky(A + mult * diag_mean * jnp.eye(n, dtype=A.dtype))
 
 
 def chol_jitter_used(A: jax.Array, maxtries: int | None = None):

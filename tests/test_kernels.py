@@ -215,3 +215,51 @@ def test_kernel_params_trainable_in_tree():
     assert flat.shape[0] == 1 + 2 + 1  # rbf var + 2 ls + white var
     k2 = k.with_flat_raw(flat + 0.1)
     assert float(k2.parts[0].variance) != float(k.parts[0].variance)
+
+
+def test_basis_func_kernels():
+    X = rng.random((8, 1)) * 4
+    for k in [
+        gk.PolynomialBasisFuncKernel(1, 2),
+        gk.LinearSlopeBasisFuncKernel(1, 1.0, 3.0),
+        gk.ChangePointBasisFuncKernel(1, 2.0),
+        gk.DomainKernel(1, 1.0, 3.0),
+        gk.LogisticBasisFuncKernel(1, [2.0]),
+    ]:
+        K = np.asarray(k.K(jnp.asarray(X)))
+        np.testing.assert_allclose(K, K.T, atol=1e-10)
+        assert _psd(K)
+        np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))), np.diag(K), atol=1e-9)
+
+
+def test_integral_limits_kernel():
+    # bins: [s, t] with t > s
+    s = np.sort(rng.random(6) * 2)
+    X = np.stack([s + 0.5, s], axis=1)  # columns [t, s]
+    k = gk.Integral_Limits(2, variances=1.3, lengthscale=0.7)
+    K = np.asarray(k.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K, K.T, atol=1e-10)
+    assert _psd(K, tol=1e-6)
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))), np.diag(K), atol=1e-8)
+
+
+def test_symmetric_kernel():
+    base = gk.RBF(1)
+    k = gk.Symmetric(base, np.array([[-1.0]]), "even")
+    X = rng.standard_normal((6, 1))
+    K = np.asarray(k.K(jnp.asarray(X)))
+    assert _psd(K)
+    # even symmetry: k(x, x') == k(-x, x')
+    K2 = np.asarray(k.K(jnp.asarray(-X), jnp.asarray(X)))
+    np.testing.assert_allclose(K, K2, atol=1e-10)
+
+
+def test_splitkern():
+    k = gk.DEtime(Xd=1.0)
+    x = np.linspace(0, 2, 6).reshape(-1, 1)
+    X = np.vstack([np.hstack([x, np.zeros((6, 1))]), np.hstack([x, np.ones((6, 1))])])
+    K = np.asarray(k.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K, K.T, atol=1e-10)
+    assert _psd(K, tol=1e-6)
+    # within-domain block equals base kernel
+    np.testing.assert_allclose(K[:6, :6], np.asarray(gk.RBF(1).K(jnp.asarray(x))), atol=1e-10)

@@ -1,0 +1,69 @@
+"""State-space GP tests — the oracle from GPy/testing/
+test_gpy_kernels_state_space.py: Kalman NLML/predictions == dense GP.
+"""
+import numpy as np
+import pytest
+
+from gpy_tpu.models.state_space import StateSpace
+from gpy_tpu.models import GPRegression
+import gpy_tpu.kern as gk
+
+rng = np.random.default_rng(17)
+
+
+def _toy(n=40):
+    X = np.sort(rng.random(n) * 5).reshape(-1, 1)
+    Y = np.sin(X * 1.5) + 0.2 * rng.standard_normal((n, 1))
+    return X, Y
+
+
+@pytest.mark.parametrize("kern_pair", [
+    (lambda: gk.Matern32(1, variance=1.3, lengthscale=0.7),
+     lambda: gk.Matern32(1, variance=1.3, lengthscale=0.7)),
+    (lambda: gk.Matern52(1, variance=0.8, lengthscale=1.1),
+     lambda: gk.Matern52(1, variance=0.8, lengthscale=1.1)),
+    (lambda: gk.Exponential(1, variance=1.1, lengthscale=0.9),
+     lambda: gk.Exponential(1, variance=1.1, lengthscale=0.9)),
+], ids=["mat32", "mat52", "exp"])
+def test_kalman_nlml_equals_dense(kern_pair):
+    X, Y = _toy(35)
+    mk, dk = kern_pair
+    ss = StateSpace(X, Y, kernel=mk(), noise_var=0.1)
+    dense = GPRegression(X, Y, kernel=dk(), noise_var=0.1)
+    assert float(ss.log_likelihood()) == pytest.approx(float(dense.log_likelihood()), rel=1e-6)
+
+
+def test_kalman_sum_kernel_nlml():
+    X, Y = _toy(30)
+    mk = gk.Matern32(1, variance=1.0, lengthscale=0.5) + gk.Exponential(1, variance=0.4, lengthscale=2.0)
+    dk = gk.Matern32(1, variance=1.0, lengthscale=0.5) + gk.Exponential(1, variance=0.4, lengthscale=2.0)
+    ss = StateSpace(X, Y, kernel=mk, noise_var=0.1)
+    dense = GPRegression(X, Y, kernel=dk, noise_var=0.1)
+    assert float(ss.log_likelihood()) == pytest.approx(float(dense.log_likelihood()), rel=1e-6)
+
+
+def test_kalman_checkgrad():
+    X, Y = _toy(25)
+    ss = StateSpace(X, Y, kernel=gk.Matern32(1), noise_var=0.2)
+    assert ss.checkgrad()
+
+
+def test_kalman_predictions_match_dense():
+    X, Y = _toy(30)
+    ss = StateSpace(X, Y, kernel=gk.Matern32(1, variance=1.2, lengthscale=0.8), noise_var=0.1)
+    dense = GPRegression(X, Y, kernel=gk.Matern32(1, variance=1.2, lengthscale=0.8), noise_var=0.1)
+    Xs = np.linspace(0.1, 4.9, 11).reshape(-1, 1)
+    mu1, v1 = ss.predict(Xs)
+    mu2, v2 = dense.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, atol=1e-5)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+
+def test_kalman_optimize():
+    X, Y = _toy(50)
+    ss = StateSpace(X, Y, kernel=gk.Matern32(1), noise_var=1.0)
+    obj0 = float(ss.objective_function())
+    ss.optimize(max_iters=100)
+    assert float(ss.objective_function()) < obj0
+    mu, _ = ss.predict(X)
+    assert np.sqrt(np.mean((mu - Y) ** 2)) < 0.4
