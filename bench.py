@@ -70,9 +70,10 @@ def main():
     Z = X[rng.permutation(N)[:M]].copy()
     model = SVGP(X, Y, Z, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
 
-    model.fit(iters=3, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)  # compile+warmup
-    t0 = time.perf_counter()
     steps = 100
+    # warmup with the same chunk shape so the timed run reuses the executable
+    model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
+    t0 = time.perf_counter()
     model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
     jax.block_until_ready(model.get_flat_raw())
     dt = time.perf_counter() - t0

@@ -180,10 +180,37 @@ class SVGP(SparseGP):
                 S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
             return (hypers, q_mean, S, new_opt), val
 
-        keys = jax.random.split(jax.random.PRNGKey(seed), iters)
-        (hypers, q_mean, S, _), trace = jax.lax.scan(
-            step, (hyper_raw, m0, S0, opt_state), keys
-        )
+        # run the scan in fixed-size jitted chunks so the compiled executable
+        # is reused across fit() calls (cache keyed on config below)
+        CHUNK = min(iters, 100)
+
+        def run_chunk(carry, keys):
+            return jax.lax.scan(step, carry, keys)
+
+        cache_key = (CHUNK, batchsize, use_natgrad, float(step_size), float(natgrad_step_size),
+                     self._data_version(), self.structure_version())
+        cached = self.__dict__.get("_fit_chunk_cache")
+        if cached is not None and cached[0] == cache_key:
+            run_chunk_j = cached[1]
+        else:
+            run_chunk_j = jax.jit(run_chunk)
+            self.__dict__["_fit_chunk_cache"] = (cache_key, run_chunk_j)
+
+        master = jax.random.PRNGKey(seed)
+        carry = (hyper_raw, m0, S0, opt_state)
+        traces = []
+        done = 0
+        ci = 0
+        while done < iters:
+            sub = jax.random.fold_in(master, ci)
+            keys = jax.random.split(sub, CHUNK)
+            carry, tr = run_chunk_j(carry, keys)
+            take = min(CHUNK, iters - done)
+            traces.append(tr[:take])
+            done += take
+            ci += 1
+        hypers, q_mean, S, _ = carry
+        trace = jnp.concatenate(traces)
         # write back
         self.set_raw_dict(hypers)
         self.q_u_mean.set_value(q_mean)
