@@ -3,6 +3,11 @@ from .exact import LatentFunctionInference, ExactGaussianInference, ExactStudent
 from .posterior import Posterior
 from .laplace import Laplace
 from .ep import EP
+from .var_dtc import VarDTC
+from .fitc import FITC, DTC, PEP
+from .svgp import SVGPInference
+from .var_gauss import VarGauss
+from .var_dtc_missing import VarDTCMissingData
 
 __all__ = [
     "LatentFunctionInference",
@@ -11,4 +16,11 @@ __all__ = [
     "Posterior",
     "Laplace",
     "EP",
+    "VarDTC",
+    "FITC",
+    "DTC",
+    "PEP",
+    "SVGPInference",
+    "VarGauss",
+    "VarDTCMissingData",
 ]

@@ -28,6 +28,7 @@ from .basis_funcs import (
 )
 from .integral import Integral, Integral_Limits, Multidimensional_Integral_Limits
 from .symmetric import Symmetric, SplitKern, DEtime, GridRBF
+from .multioutput_kern import DiffKern, MultioutputKern, MultioutputDerivativeKern
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
 
 __all__ = [
@@ -43,4 +44,5 @@ __all__ = [
     "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
     "Integral", "Integral_Limits", "Multidimensional_Integral_Limits",
     "Symmetric", "SplitKern", "DEtime", "GridRBF",
+    "DiffKern", "MultioutputKern", "MultioutputDerivativeKern",
 ]

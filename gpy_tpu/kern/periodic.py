@@ -84,7 +84,8 @@ class _WarpedPeriodic(Kern):
         U2 = U1 if X2 is None else self._embed(X2)
         sq1 = jnp.sum(U1 * U1, axis=-1)
         sq2 = jnp.sum(U2 * U2, axis=-1)
-        r2 = jnp.maximum(sq1[:, None] + sq2[None, :] - 2 * U1 @ U2.T, 0.0)
+        r2 = sq1[:, None] + sq2[None, :] - 2 * U1 @ U2.T
+        r2 = jnp.where(r2 < 0.0, 0.0, r2)
         from ..util.linalg import safe_sqrt
 
         ls = jnp.asarray(self.lengthscale)

@@ -80,7 +80,9 @@ class Stationary(Kern):
             sq1 = jnp.sum(Xs * Xs, axis=-1)
             sq2 = jnp.sum(X2s * X2s, axis=-1)
             r2 = sq1[:, None] + sq2[None, :] - 2.0 * (Xs @ X2s.T)
-        return jnp.maximum(r2, 0.0)
+        # NOTE: not jnp.maximum(r2, 0) — its gradient at the tie r2==0 is 1/2,
+        # which halves derivative covariances (DiffKern) at coincident points.
+        return jnp.where(r2 < 0.0, 0.0, r2)
 
     def _scaled_dist(self, X, X2=None):
         return safe_sqrt(self._scaled_dist2(X, X2))

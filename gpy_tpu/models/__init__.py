@@ -18,6 +18,9 @@ from .gp_coregionalized_regression import (
 from .gp_var_gauss import GPVariationalGaussianApproximation
 from .one_vs_all_classification import OneVsAllClassification, OneVsAllSparseClassification
 from .gp_kronecker_gaussian_regression import GPKroneckerGaussianRegression, GPRegressionGrid
+from .multioutput_gp import MultioutputGP
+from .sparse_gp_minibatch import SparseGPMiniBatch, BayesianGPLVMMiniBatch
+from .state_space import StateSpace
 from ..core.svgp import SVGP
 
 __all__ = [
@@ -44,4 +47,8 @@ __all__ = [
     "GPKroneckerGaussianRegression",
     "GPRegressionGrid",
     "SVGP",
+    "MultioutputGP",
+    "SparseGPMiniBatch",
+    "BayesianGPLVMMiniBatch",
+    "StateSpace",
 ]

@@ -1,0 +1,131 @@
+"""Small math/util helpers.
+
+Reference: GPy/util/univariate_Gaussian.py (std_norm_pdf/cdf, logPhi,
+derivLogCdfNormal), GPy/util/squashers.py (sigmoid, single_softmax),
+GPy/util/functions.py (normcdf, clip_exp...), GPy/util/diag.py (view/add),
+GPy/util/block_matrices.py, GPy/util/classification.py (conf_matrix),
+GPy/util/subarray_and_sorting.py (common_subarrays).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import log_ndtr, ndtr
+from jax.scipy.stats import norm
+
+__all__ = [
+    "std_norm_pdf", "std_norm_cdf", "logPhi", "derivLogCdfNormal", "cdfNormal",
+    "sigmoid", "single_softmax", "clip_exp", "normcdf",
+    "diag_view", "diag_add",
+    "block", "unblock", "block_dot",
+    "conf_matrix",
+    "common_subarrays",
+]
+
+
+# --- univariate Gaussian (GPy: util/univariate_Gaussian.py) ---------------
+def std_norm_pdf(x):
+    return norm.pdf(x)
+
+
+def std_norm_cdf(x):
+    return ndtr(x)
+
+
+cdfNormal = std_norm_cdf
+
+
+def logPhi(x):
+    return log_ndtr(x)
+
+
+def derivLogCdfNormal(x):
+    """phi(x)/Phi(x), stable in the tail."""
+    return jnp.exp(norm.logpdf(x) - log_ndtr(x))
+
+
+# --- squashers (GPy: util/squashers.py) -----------------------------------
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def single_softmax(x):
+    return jax.nn.softmax(x, axis=-1)
+
+
+def clip_exp(x, lower=-250.0, upper=250.0):
+    return jnp.exp(jnp.clip(x, lower, upper))
+
+
+normcdf = std_norm_cdf
+
+
+# --- diag ops (GPy: util/diag.py) ------------------------------------------
+def diag_view(A):
+    return jnp.diagonal(A)
+
+
+def diag_add(A, d):
+    from .linalg import diag_add as _da
+
+    return _da(A, d)
+
+
+# --- block matrices (GPy: util/block_matrices.py) --------------------------
+def block(blocks):
+    """2-D list of blocks -> dense matrix (np.block)."""
+    return jnp.block(blocks)
+
+
+def unblock(A, row_sizes, col_sizes):
+    out = []
+    r0 = 0
+    for r in row_sizes:
+        row = []
+        c0 = 0
+        for c in col_sizes:
+            row.append(A[r0 : r0 + r, c0 : c0 + c])
+            c0 += c
+        out.append(row)
+        r0 += r
+    return out
+
+
+def block_dot(A_blocks, B_blocks):
+    n = len(A_blocks)
+    m = len(B_blocks[0])
+    k = len(B_blocks)
+    return [
+        [sum(A_blocks[i][l] @ B_blocks[l][j] for l in range(k)) for j in range(m)]
+        for i in range(n)
+    ]
+
+
+# --- classification metrics (GPy: util/classification.py) ------------------
+def conf_matrix(p, labels, names=("+1", "-1"), threshold=0.5, show=False):
+    """Binary confusion matrix from probabilities. Returns (matrix, accuracy)."""
+    p = np.asarray(p).reshape(-1)
+    y = np.asarray(labels).reshape(-1)
+    pred = (p > threshold).astype(int)
+    tp = int(np.sum((pred == 1) & (y == 1)))
+    tn = int(np.sum((pred == 0) & (y == 0)))
+    fp = int(np.sum((pred == 1) & (y == 0)))
+    fn = int(np.sum((pred == 0) & (y == 1)))
+    M = np.array([[tp, fn], [fp, tn]])
+    acc = (tp + tn) / max(len(y), 1)
+    if show:
+        print(f"conf matrix {names}:\n{M}\naccuracy: {acc:.3f}")
+    return M, acc
+
+
+# --- subarrays (GPy: util/subarray_and_sorting.py) --------------------------
+def common_subarrays(X, axis=0):
+    """Map from unique rows (as tuples) to the index list where they occur."""
+    X = np.asarray(X)
+    if axis == 1:
+        X = X.T
+    out = {}
+    for i, row in enumerate(X):
+        out.setdefault(tuple(row.tolist()), []).append(i)
+    return out
