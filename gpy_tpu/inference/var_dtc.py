@@ -46,8 +46,20 @@ def _sparse_terms(kern, X, Z, W, Y, qX=None):
         psi0_sum = jnp.sum(W * kern.Kdiag(X))
     else:
         psi1 = kern.psi1(Z, qX)  # (N, M)
-        psi2n = kern.psi2n(Z, qX)  # (N, M, M)
-        Psi2W = jnp.einsum("n,nmk->mk", W, psi2n)
+        N = psi1.shape[0]
+        from ..kern.psi_comp import PSICOMP_RBF
+
+        if N >= 512 and isinstance(getattr(kern, "_psicomp", None), PSICOMP_RBF):
+            # streamed contraction — never materializes (N, M, M)
+            from ..ops.pallas_psi import rbf_psi2_weighted
+
+            Psi2W = rbf_psi2_weighted(
+                kern.variance, kern.lengthscale, Z,
+                jnp.asarray(qX.mean), jnp.asarray(qX.variance), W,
+            )
+        else:
+            psi2n = kern.psi2n(Z, qX)  # (N, M, M)
+            Psi2W = jnp.einsum("n,nmk->mk", W, psi2n)
         tmp = jsl.solve_triangular(L, Psi2W, lower=True)
         AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
         AAT = 0.5 * (AAT + AAT.T)

@@ -121,6 +121,18 @@ class RBF(Stationary):
     def K(self, X, X2=None):
         # avoid the sqrt entirely: K = v exp(-r2/2)
         X, X2 = self._slice(X), self._slice(X2)
+        # large Grams route through the blocked custom-VJP kernel
+        # (ops/pallas_gram.py — the stationary_cython/CUDA replacement)
+        from ..ops.pallas_gram import rbf_gram, use_pallas_for
+
+        n = X.shape[0]
+        m = n if X2 is None else X2.shape[0]
+        if use_pallas_for(n, m, X.shape[1]):
+            v = jnp.asarray(self.variance)
+            K = rbf_gram(X, X if X2 is None else X2, v, jnp.asarray(self.lengthscale))
+            if X2 is None:  # exact unit diagonal (GPy fills it explicitly)
+                K = K - jnp.diag(jnp.diagonal(K)) + v * jnp.eye(n, dtype=K.dtype)
+            return K
         r2 = self._scaled_dist2(X, X2)
         return jnp.asarray(self.variance) * jnp.exp(-0.5 * r2)
 

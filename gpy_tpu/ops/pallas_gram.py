@@ -1,0 +1,125 @@
+"""Pallas blocked Gram kernel for RBF/stationary covariances.
+
+TPU-native replacement of the reference's native kernels
+(GPy/kern/src/stationary_cython.pyx:20-63 + stationary_utils.c OpenMP loops,
+and the pycuda kernels in GPy/kern/src/psi_comp/rbf_psi_gpucomp.py):
+
+  * forward: K tile = v * exp(-0.5 * ||xi/l - xj/l||^2), computed per
+    (BN, BM) tile in VMEM: the distance expansion runs on the MXU
+    (xi @ xj^T) with the elementwise exp fused in-register — r2 is never
+    materialized in HBM.
+  * backward: the dL/dtheta and dL/dX reductions are *matmul-shaped*
+    (exactly what stationary_utils.c hand-looped):
+        T       = G * K                      (elementwise, fused)
+        dX      = (T @ Xs - rowsum(T) * Xs) / l
+        dl_q    ~ xi_q^2^T rowsum(T) + colsum(T) xj_q^2 - 2 xi^T T xj
+    so the VJP is expressed with XLA einsums (MXU-optimal) on the saved K.
+
+Used on the TPU backend for shapes that tile cleanly; falls back to the XLA
+expression otherwise (identical math).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rbf_gram", "use_pallas_for"]
+
+_BN = 256
+_BM = 256
+
+
+def _xla_rbf_gram(Xs, X2s, v):
+    sq1 = jnp.sum(Xs * Xs, axis=-1)
+    sq2 = jnp.sum(X2s * X2s, axis=-1)
+    r2 = sq1[:, None] + sq2[None, :] - 2.0 * (Xs @ X2s.T)
+    r2 = jnp.where(r2 < 0.0, 0.0, r2)
+    return v * jnp.exp(-0.5 * r2)
+
+
+def _pallas_rbf_gram(Xs, X2s, v):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = Xs.shape
+    M = X2s.shape[0]
+
+    def kernel(x_ref, x2_ref, v_ref, out_ref):
+        xi = x_ref[:]  # (BN, D)
+        xj = x2_ref[:]  # (BM, D)
+        sq1 = jnp.sum(xi * xi, axis=-1)[:, None]
+        sq2 = jnp.sum(xj * xj, axis=-1)[None, :]
+        cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype)
+        r2 = sq1 + sq2 - 2.0 * cross
+        r2 = jnp.where(r2 < 0.0, 0.0, r2)
+        out_ref[:] = v_ref[0, 0] * jnp.exp(-0.5 * r2)
+
+    grid = (N // _BN, M // _BM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, M), Xs.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_BN, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((_BN, _BM), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=jax.default_backend() not in ("tpu",),
+    )(Xs, X2s, jnp.reshape(v, (1, 1)))
+
+
+def use_pallas_for(N: int, M: int, D: int) -> bool:
+    from ..config import config
+
+    return (
+        config.use_pallas
+        and jax.default_backend() == "tpu"
+        and N % _BN == 0
+        and M % _BM == 0
+        and N * M >= 1 << 22
+    )
+
+
+@jax.custom_vjp
+def _rbf_gram_core(Xs, X2s, v):
+    if use_pallas_for(Xs.shape[0], X2s.shape[0], Xs.shape[1]):
+        return _pallas_rbf_gram(Xs, X2s, v)
+    return _xla_rbf_gram(Xs, X2s, v)
+
+
+def _fwd(Xs, X2s, v):
+    K = _rbf_gram_core(Xs, X2s, v)
+    return K, (Xs, X2s, v, K)
+
+
+def _bwd(res, G):
+    Xs, X2s, v, K = res
+    T = G * K  # elementwise, fused by XLA
+    rs = jnp.sum(T, axis=1)
+    cs = jnp.sum(T, axis=0)
+    # dXs = (T @ X2s - rowsum(T)*Xs)   [in scaled coords]
+    dXs = T @ X2s - rs[:, None] * Xs
+    dX2s = T.T @ Xs - cs[:, None] * X2s
+    dv = jnp.sum(T) / v
+    return dXs, dX2s, dv
+
+
+_rbf_gram_core.defvjp(_fwd, _bwd)
+
+
+def rbf_gram(X, X2, variance, lengthscale):
+    """K = variance * exp(-0.5 ||(x - x')/lengthscale||^2), custom-VJP path.
+
+    lengthscale: scalar or (D,) ARD vector. Gradients wrt X, X2, variance,
+    lengthscale all flow (lengthscale via the scaling chain rule).
+    """
+    ls = jnp.asarray(lengthscale)
+    Xs = X / ls
+    X2s = X2 / ls
+    return _rbf_gram_core(Xs, X2s, jnp.asarray(variance))
