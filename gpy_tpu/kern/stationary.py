@@ -136,15 +136,24 @@ class RBF(Stationary):
         r2 = self._scaled_dist2(X, X2)
         return jnp.asarray(self.variance) * jnp.exp(-0.5 * r2)
 
-    # closed-form psi statistics (GPy: kern/src/psi_comp/rbf_psi_comp.py)
+    # closed-form psi statistics (GPy: kern/src/psi_comp/rbf_psi_comp.py;
+    # spike-and-slab variants dispatch on the posterior type, replacing
+    # GPy's ssrbf_psi_comp.py)
+    def _pc(self, qX):
+        if hasattr(qX, "gamma"):
+            from .psi_comp import PSICOMP_SSRBF
+
+            return PSICOMP_SSRBF()
+        return self._psicomp
+
     def psi0(self, Z, qX):
-        return self._psicomp.psi0(self, Z, qX)
+        return self._pc(qX).psi0(self, Z, qX)
 
     def psi1(self, Z, qX):
-        return self._psicomp.psi1(self, Z, qX)
+        return self._pc(qX).psi1(self, Z, qX)
 
     def psi2n(self, Z, qX):
-        return self._psicomp.psi2n(self, Z, qX)
+        return self._pc(qX).psi2n(self, Z, qX)
 
     def spectrum(self, omega):
         """Power spectrum (GPy: rbf.py:325), isotropic 1-D case."""
