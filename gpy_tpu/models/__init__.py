@@ -21,6 +21,8 @@ from .gp_kronecker_gaussian_regression import GPKroneckerGaussianRegression, GPR
 from .multioutput_gp import MultioutputGP
 from .sparse_gp_minibatch import SparseGPMiniBatch, BayesianGPLVMMiniBatch
 from .state_space import StateSpace
+from .gp_multiout_regression import GPMultioutRegression, GPMultioutRegressionMD
+from .ss_gplvm import SSGPLVM, SSMRD
 from ..core.svgp import SVGP
 
 __all__ = [
@@ -51,4 +53,8 @@ __all__ = [
     "SparseGPMiniBatch",
     "BayesianGPLVMMiniBatch",
     "StateSpace",
+    "GPMultioutRegression",
+    "GPMultioutRegressionMD",
+    "SSGPLVM",
+    "SSMRD",
 ]

@@ -111,3 +111,35 @@ def test_bgplvm_minibatch_missing():
     m = BayesianGPLVMMiniBatch(Y, 2, num_inducing=6)
     assert np.isfinite(float(m.log_likelihood()))
     assert m.checkgrad()
+
+
+def test_gp_multiout_regression():
+    from gpy_tpu.models.gp_multiout_regression import GPMultioutRegression
+
+    n, D = 30, 3
+    X = np.linspace(0, 5, n).reshape(-1, 1)
+    F = np.sin(X)
+    # three correlated outputs from one latent function
+    Y = np.hstack([F, 0.7 * F, -0.5 * F]) + 0.05 * rng.standard_normal((n, D))
+    m = GPMultioutRegression(X, Y, Xr_dim=2, num_inducing=(12,))
+    ll0 = float(m.log_likelihood())
+    m.optimize(max_iters=200)
+    assert float(m.log_likelihood()) > ll0
+    assert m.output_embedding.shape == (D, 2)
+    # correlated outputs should have nearby embeddings relative to anticorrelated
+    B = np.asarray(m.kern.parts[1].B)
+    assert B[0, 1] > B[0, 2]
+
+
+def test_gp_multiout_regression_md():
+    from gpy_tpu.models.gp_multiout_regression import GPMultioutRegressionMD
+
+    n = 25
+    X = np.linspace(0, 5, n).reshape(-1, 1)
+    Y1 = np.sin(X) + 0.05 * rng.standard_normal((n, 1))
+    X2 = X[::2]
+    Y2 = 0.8 * np.sin(X2) + 0.05 * rng.standard_normal((X2.shape[0], 1))
+    m = GPMultioutRegressionMD([X, X2], [Y1, Y2], Xr_dim=1, num_inducing=(10,))
+    assert np.isfinite(float(m.log_likelihood()))
+    m.optimize(max_iters=100)
+    assert np.isfinite(float(m.log_likelihood()))
