@@ -36,7 +36,9 @@ def q_f_marginals(kern, X, Z, q_u_mean, L_u):
     """
     M = Z.shape[0]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-    Lmm = jitchol(Kmm)
+    # explicit jitter already added: plain cholesky (no ladder probe) keeps
+    # the training hot path at one factorization
+    Lmm = jnp.linalg.cholesky(Kmm)
     Kmn = kern.K(Z, X)  # (M, N)
     A = jsl.cho_solve((Lmm, True), Kmn)  # Kmm^-1 Kmn, (M, N)
     mu = A.T @ q_u_mean  # (N, D)
