@@ -14,6 +14,7 @@ wall time at N (Cholesky path) and HMC leapfrog samples/s.
 """
 import json
 import os
+import sys
 import time
 
 os.environ["GPY_TPU_X64"] = "0"  # f32 on TPU for the perf path
@@ -70,9 +71,11 @@ def main():
     Z = X[rng.permutation(N)[:M]].copy()
     model = SVGP(X, Y, Z, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
 
+    print("bench: compiling svgp step...", file=sys.stderr, flush=True)
     steps = 100
     # warmup with the same chunk shape so the timed run reuses the executable
     model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
+    print("bench: timing svgp...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
     jax.block_until_ready(model.get_flat_raw())
@@ -91,18 +94,19 @@ def main():
     try:
         from gpy_tpu.models import GPRegression
 
-        n_exact = 8192
+        n_exact = 4096
         Xe = rng.random((n_exact, 4)).astype(np.float32)
         Ye = (np.sin(Xe[:, :1]) + 0.1 * rng.standard_normal((n_exact, 1))).astype(np.float32)
         me = GPRegression(Xe, Ye)
         og = me._get_objgrad()
         flat = me.get_flat_raw()
+        print("bench: exact gp extra...", file=sys.stderr, flush=True)
         og(flat)  # compile
         t0 = time.perf_counter()
         for _ in range(5):
             v, g = og(flat)
         jax.block_until_ready(g)
-        extra["exact_nlml_grad_ms_n8192"] = (time.perf_counter() - t0) / 5 * 1e3
+        extra["exact_nlml_grad_ms_n4096"] = (time.perf_counter() - t0) / 5 * 1e3
     except Exception as e:  # pragma: no cover
         extra["exact_nlml_grad_error"] = str(e)[:100]
 

@@ -30,6 +30,7 @@ from .integral import Integral, Integral_Limits, Multidimensional_Integral_Limit
 from .symmetric import Symmetric, SplitKern, DEtime, GridRBF
 from .multioutput_kern import DiffKern, MultioutputKern, MultioutputDerivativeKern
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
+from . import sde  # attaches sde() to RBF/StdPeriodic/Bias
 
 __all__ = [
     "Kern", "CombinationKernel", "Add", "Prod",

@@ -1,0 +1,134 @@
+"""State-space (SDE) forms for kernels without exact finite-dimensional ones.
+
+Reference: GPy/kern/src/sde_stationary.py (sde_RBF — Taylor/spectral
+factorization approximation), sde_standard_periodic.py (harmonic oscillator
+expansion, Solin & Sarkka 2014), sde_static.py (sde_Bias).
+
+TPU design: the spectral factorization of the RBF approximation is done ONCE
+at import on a *universal* (lengthscale-free) polynomial — its roots scale
+as 1/lengthscale, so the companion-form coefficients are differentiable
+closed forms in the hyperparameters; Pinf comes from a tiny differentiable
+Lyapunov solve. No numpy root-finding appears inside traced code.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rbf_sde", "std_periodic_sde", "bias_sde", "attach_sde"]
+
+_RBF_ORDER = 6
+
+# --- universal RBF factorization (computed once, lengthscale-free) ---------
+# 1/S(omega) ~ sum_k (l^2 omega^2 / 2)^k / k!; with z = l*omega/sqrt(2) the
+# polynomial P(z) = sum_k z^{2k}/k! is universal. Roots scale as sqrt(2)/l.
+
+
+def _universal_rbf_coeffs(K=_RBF_ORDER):
+    # polynomial in y = s*l/sqrt(2): sum_k (-1)^k y^{2k} / k!   (s = i*omega
+    # flips the sign of omega^2 terms alternately)
+    coeffs = np.zeros(2 * K + 1)
+    for k in range(K + 1):
+        coeffs[2 * k] = (-1.0) ** k / math.factorial(k)
+    # polynomial in z, ascending -> np.roots wants descending
+    roots = np.roots(coeffs[::-1])
+    lhp = roots[roots.real < 0]
+    assert len(lhp) == K
+    # monic polynomial coefficients with these roots (real by conjugacy)
+    mono = np.poly(lhp)  # descending, length K+1, complex -> real
+    return np.real(mono[::-1])  # ascending: u_0 ... u_K (u_K = 1)
+
+
+_RBF_U = _universal_rbf_coeffs()
+
+
+def rbf_sde(variance, lengthscale, K=_RBF_ORDER):
+    """(F, L, Qc, H, Pinf) for the order-K RBF approximation.
+
+    GPy: sde_stationary.py sde_RBF (order-10 Taylor). Differentiable in
+    (variance, lengthscale)."""
+    v = jnp.asarray(variance)
+    l = jnp.asarray(lengthscale).reshape(-1)[0]
+    alpha = jnp.sqrt(2.0) / l
+    # a(s) monic with roots alpha*rho_j: c_m = u_m * alpha^(K-m)
+    u = jnp.asarray(_RBF_U)
+    m_idx = jnp.arange(K + 1)
+    c = u * alpha ** (K - m_idx)  # ascending coeffs, c_K = alpha^0 = 1
+    F = jnp.zeros((K, K)).at[:-1, 1:].set(jnp.eye(K - 1)).at[-1, :].set(-c[:K])
+    L = jnp.zeros((K, 1)).at[-1, 0].set(1.0)
+    H = jnp.zeros((1, K)).at[0, 0].set(1.0)
+    q = v * l * jnp.sqrt(2 * jnp.pi) * float(math.factorial(K)) * (2.0 / l**2) ** K
+    Qc = q.reshape(1, 1)
+    # Pinf: solve F P + P F' + L q L' = 0  (Lyapunov, differentiable)
+    eyeK = jnp.eye(K)
+    A = jnp.kron(eyeK, F) + jnp.kron(F, eyeK)
+    b = -(L @ Qc @ L.T).reshape(-1)
+    Pinf = jnp.linalg.solve(A, b).reshape(K, K)
+    Pinf = 0.5 * (Pinf + Pinf.T)
+    return F, L, Qc, H, Pinf
+
+
+def _bessel_i(j, x, terms=30):
+    """Modified Bessel I_j(x) by series (small orders, moderate x)."""
+    m = jnp.arange(terms)
+    log_terms = (2 * m + j) * jnp.log(x / 2.0) - jax.scipy.special.gammaln(m + 1.0) \
+        - jax.scipy.special.gammaln(m + j + 1.0)
+    return jnp.sum(jnp.exp(log_terms))
+
+
+def std_periodic_sde(variance, period, lengthscale, n_harmonics=7):
+    """(F, L, Qc, H, Pinf) for StdPeriodic via the harmonic expansion
+    (Solin & Sarkka 2014; GPy: sde_standard_periodic.py).
+
+    StdPeriodic's exponent -0.5 sin^2(pi tau/T)/l^2 equals
+    (cos(w0 tau) - 1) * a with a = 1/(4 l^2), so the harmonic weights are
+    q_j = eps_j I_j(a) e^{-a} (eps_0 = 1, eps_j = 2)."""
+    v = jnp.asarray(variance)
+    T = jnp.asarray(period).reshape(-1)[0]
+    l = jnp.asarray(lengthscale).reshape(-1)[0]
+    x = 1.0 / (4.0 * l**2)
+    w0 = 2.0 * jnp.pi / T
+    Fs, Ps = [], []
+    for j in range(n_harmonics):
+        qj = (1.0 if j == 0 else 2.0) * _bessel_i(j, x) * jnp.exp(-x) * v
+        Fj = jnp.asarray([[0.0, -1.0], [1.0, 0.0]]) * (w0 * j)
+        Fs.append(Fj)
+        Ps.append(qj * jnp.eye(2))
+    F = jax.scipy.linalg.block_diag(*Fs)
+    Pinf = jax.scipy.linalg.block_diag(*Ps)
+    s = 2 * n_harmonics
+    L = jnp.eye(s)
+    Qc = jnp.zeros((s, s))
+    H = jnp.zeros((1, s)).at[0, ::2].set(1.0)
+    return F, L, Qc, H, Pinf
+
+
+def bias_sde(variance):
+    """Constant-offset kernel: one static state. GPy: sde_static.py."""
+    v = jnp.asarray(variance)
+    return (
+        jnp.zeros((1, 1)),
+        jnp.ones((1, 1)),
+        jnp.zeros((1, 1)),
+        jnp.ones((1, 1)),
+        v.reshape(1, 1),
+    )
+
+
+def attach_sde():
+    """Attach sde() methods to RBF / StdPeriodic / Bias kernel classes."""
+    from .stationary import RBF
+    from .periodic import StdPeriodic
+    from .static import Bias
+
+    RBF.sde = lambda self: rbf_sde(self.variance, self.lengthscale)
+    StdPeriodic.sde = lambda self: std_periodic_sde(
+        self.variance, self.period, self.lengthscale
+    )
+    Bias.sde = lambda self: bias_sde(self.variance)
+
+
+attach_sde()

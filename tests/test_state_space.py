@@ -67,3 +67,44 @@ def test_kalman_optimize():
     assert float(ss.objective_function()) < obj0
     mu, _ = ss.predict(X)
     assert np.sqrt(np.mean((mu - Y) ** 2)) < 0.4
+
+
+def test_rbf_sde_approximates_dense():
+    """Order-6 spectral approximation of the RBF (GPy sde_RBF analogue)."""
+    X, Y = _toy(30)
+    k = gk.RBF(1, variance=1.1, lengthscale=0.9)
+    ss = StateSpace(X, Y, kernel=gk.RBF(1, variance=1.1, lengthscale=0.9), noise_var=0.1)
+    dense = GPRegression(X, Y, kernel=k, noise_var=0.1)
+    l1, l2 = float(ss.log_likelihood()), float(dense.log_likelihood())
+    assert l1 == pytest.approx(l2, rel=2e-3, abs=0.5)
+    mu1, v1 = ss.predict(np.linspace(0.2, 4.8, 9).reshape(-1, 1))
+    mu2, v2 = dense.predict(np.linspace(0.2, 4.8, 9).reshape(-1, 1))
+    np.testing.assert_allclose(mu1, mu2, atol=2e-2)
+    np.testing.assert_allclose(v1, v2, atol=2e-2)
+
+
+def test_rbf_sde_checkgrad():
+    X, Y = _toy(20)
+    ss = StateSpace(X, Y, kernel=gk.RBF(1), noise_var=0.2)
+    assert ss.checkgrad(step=1e-5)
+
+
+def test_periodic_sde_approximates_dense():
+    rng2 = np.random.default_rng(3)
+    X = np.sort(rng2.random(30) * 4).reshape(-1, 1)
+    Y = np.sin(2 * np.pi * X / 1.3) + 0.1 * rng2.standard_normal((30, 1))
+    kd = gk.StdPeriodic(1, variance=1.0, period=1.3, lengthscale=0.8)
+    km = gk.StdPeriodic(1, variance=1.0, period=1.3, lengthscale=0.8)
+    ss = StateSpace(X, Y, kernel=km, noise_var=0.1)
+    dense = GPRegression(X, Y, kernel=kd, noise_var=0.1)
+    assert float(ss.log_likelihood()) == pytest.approx(float(dense.log_likelihood()), rel=5e-3, abs=0.5)
+
+
+def test_bias_plus_matern_sde():
+    X, Y = _toy(25)
+    Yb = Y + 3.0
+    km = gk.Matern32(1, variance=1.0, lengthscale=0.8) + gk.Bias(1, variance=2.0)
+    kd = gk.Matern32(1, variance=1.0, lengthscale=0.8) + gk.Bias(1, variance=2.0)
+    ss = StateSpace(X, Yb, kernel=km, noise_var=0.1)
+    dense = GPRegression(X, Yb, kernel=kd, noise_var=0.1)
+    assert float(ss.log_likelihood()) == pytest.approx(float(dense.log_likelihood()), rel=1e-6)
