@@ -28,6 +28,7 @@ from .basis_funcs import (
 )
 from .integral import Integral, Integral_Limits, Multidimensional_Integral_Limits
 from .symmetric import Symmetric, SplitKern, DEtime, GridRBF
+from .eq_ode1 import EQ_ODE1
 from .multioutput_kern import DiffKern, MultioutputKern, MultioutputDerivativeKern
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
 from . import sde  # attaches sde() to RBF/StdPeriodic/Bias
@@ -46,4 +47,5 @@ __all__ = [
     "Integral", "Integral_Limits", "Multidimensional_Integral_Limits",
     "Symmetric", "SplitKern", "DEtime", "GridRBF",
     "DiffKern", "MultioutputKern", "MultioutputDerivativeKern",
+    "EQ_ODE1",
 ]
