@@ -29,6 +29,7 @@ from .basis_funcs import (
 from .integral import Integral, Integral_Limits, Multidimensional_Integral_Limits
 from .symmetric import Symmetric, SplitKern, DEtime, GridRBF
 from .eq_ode1 import EQ_ODE1
+from .ode_uy import ODE_UY, ODE_UYC, ODE_st, ODE_t
 from .multioutput_kern import DiffKern, MultioutputKern, MultioutputDerivativeKern
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
 from . import sde  # attaches sde() to RBF/StdPeriodic/Bias
@@ -47,5 +48,5 @@ __all__ = [
     "Integral", "Integral_Limits", "Multidimensional_Integral_Limits",
     "Symmetric", "SplitKern", "DEtime", "GridRBF",
     "DiffKern", "MultioutputKern", "MultioutputDerivativeKern",
-    "EQ_ODE1",
+    "EQ_ODE1", "ODE_UY", "ODE_UYC", "ODE_st", "ODE_t",
 ]

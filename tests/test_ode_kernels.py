@@ -60,3 +60,48 @@ def test_eq_ode1_gradients_flow():
         fm = flat.copy(); fm[i] -= eps
         fd = (float(f(jnp.asarray(fp))) - float(f(jnp.asarray(fm)))) / (2 * eps)
         assert float(g[i]) == pytest.approx(fd, rel=1e-4, abs=1e-7)
+
+
+def test_ode_uy_psd_and_structure():
+    import gpy_tpu.kern as gk
+
+    k = gk.ODE_UY(2, variance_U=1.0, variance_Y=0.8, lengthscale_U=1.2, lengthscale_Y=0.7)
+    t = np.linspace(0, 3, 6).reshape(-1, 1)
+    X = np.vstack([np.hstack([t, np.zeros_like(t)]), np.hstack([t, np.ones_like(t)])])
+    K = np.asarray(k.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K, K.T, atol=1e-9)
+    w = np.linalg.eigvalsh(K)
+    assert w.min() > -1e-7 * w.max()
+    # U block is Matern32
+    Kuu_ref = (1 + np.sqrt(3) * np.abs(t - t.T) / 1.2) * np.exp(-np.sqrt(3) * np.abs(t - t.T) / 1.2)
+    np.testing.assert_allclose(K[:6, :6], Kuu_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))), np.diag(K), atol=1e-8)
+
+
+def test_ode_uyc_adds_ubias():
+    import gpy_tpu.kern as gk
+
+    k0 = gk.ODE_UY(2)
+    k1 = gk.ODE_UYC(2, ubias=0.7)
+    t = np.linspace(0.1, 2, 4).reshape(-1, 1)
+    X = np.vstack([np.hstack([t, np.zeros_like(t)]), np.hstack([t, np.ones_like(t)])])
+    K0 = np.asarray(k0.K(jnp.asarray(X)))
+    K1 = np.asarray(k1.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K1[:4, :4] - K0[:4, :4], 0.7, atol=1e-9)
+    np.testing.assert_allclose(K1[4:, 4:], K0[4:, 4:], atol=1e-9)
+
+
+def test_ode_st_ode_t_psd():
+    import gpy_tpu.kern as gk
+
+    rng2 = np.random.default_rng(0)
+    t = np.sort(rng2.random(5)).reshape(-1, 1)
+    x = rng2.random((5, 1))
+    Xst = np.vstack([np.hstack([t, x, np.zeros_like(t)]), np.hstack([t, x, np.ones_like(t)])])
+    Kst = np.asarray(gk.ODE_st(3).K(jnp.asarray(Xst)))
+    np.testing.assert_allclose(Kst, Kst.T, atol=1e-8)
+    assert np.linalg.eigvalsh(Kst).min() > -1e-6 * np.abs(Kst).max()
+    Xt = np.vstack([np.hstack([t, np.zeros_like(t)]), np.hstack([t, np.ones_like(t)])])
+    Kt = np.asarray(gk.ODE_t(2).K(jnp.asarray(Xt)))
+    np.testing.assert_allclose(Kt, Kt.T, atol=1e-8)
+    assert np.linalg.eigvalsh(Kt).min() > -1e-6 * np.abs(Kt).max()
