@@ -29,6 +29,7 @@ from .basis_funcs import (
 from .integral import Integral, Integral_Limits, Multidimensional_Integral_Limits
 from .symmetric import Symmetric, SplitKern, DEtime, GridRBF
 from .eq_ode1 import EQ_ODE1
+from .eq_ode2 import EQ_ODE2
 from .ode_uy import ODE_UY, ODE_UYC, ODE_st, ODE_t
 from .multioutput_kern import DiffKern, MultioutputKern, MultioutputDerivativeKern
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
@@ -48,5 +49,5 @@ __all__ = [
     "Integral", "Integral_Limits", "Multidimensional_Integral_Limits",
     "Symmetric", "SplitKern", "DEtime", "GridRBF",
     "DiffKern", "MultioutputKern", "MultioutputDerivativeKern",
-    "EQ_ODE1", "ODE_UY", "ODE_UYC", "ODE_st", "ODE_t",
+    "EQ_ODE1", "EQ_ODE2", "ODE_UY", "ODE_UYC", "ODE_st", "ODE_t",
 ]

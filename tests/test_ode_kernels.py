@@ -105,3 +105,60 @@ def test_ode_st_ode_t_psd():
     Kt = np.asarray(gk.ODE_t(2).K(jnp.asarray(Xt)))
     np.testing.assert_allclose(Kt, Kt.T, atol=1e-8)
     assert np.linalg.eigvalsh(Kt).min() > -1e-6 * np.abs(Kt).max()
+
+
+def test_eq_ode2_vs_quadrature():
+    from gpy_tpu.kern.eq_ode2 import EQ_ODE2
+
+    Cd, Bd, l, w = 0.9, 2.0, 0.6, 0.8  # underdamped
+    k = EQ_ODE2(output_dim=1, rank=1, W=np.array([[w]]), lengthscale=[l], C=[Cd], B=[Bd])
+    al, om = Cd / 2, np.sqrt(Bd - Cd**2 / 4)
+    G = lambda s: np.exp(-al * s) * np.sin(om * s) / om
+    got = float(k.K(jnp.asarray([[1.5, 0.0]]), jnp.asarray([[1.0, 1.0]]))[0, 0])
+    want, _ = quad(lambda tau: G(1.5 - tau) * np.exp(-((tau - 1.0) ** 2) / l**2), 0, 1.5)
+    assert got == pytest.approx(w * want, rel=1e-7)
+    got = float(k.K(jnp.asarray([[1.2, 0.0]]), jnp.asarray([[0.5, 0.0]]))[0, 0])
+    want, _ = dblquad(lambda a, b: G(1.2 - a) * G(0.5 - b) * np.exp(-((a - b) ** 2) / l**2), 0, 0.5, 0, 1.2)
+    assert got == pytest.approx(w * w * want, rel=1e-6)
+
+
+def test_eq_ode2_overdamped():
+    from gpy_tpu.kern.eq_ode2 import EQ_ODE2
+
+    l, w = 0.6, 0.8
+    k = EQ_ODE2(output_dim=1, rank=1, W=np.array([[w]]), lengthscale=[l], C=[3.0], B=[1.0])
+    al, omi = 1.5, np.sqrt(3.0**2 / 4 - 1.0)
+    G = lambda s: np.exp(-al * s) * np.sinh(omi * s) / omi
+    got = float(k.K(jnp.asarray([[1.0, 0.0]]), jnp.asarray([[0.6, 1.0]]))[0, 0])
+    want, _ = quad(lambda tau: G(1.0 - tau) * np.exp(-((tau - 0.6) ** 2) / l**2), 0, 1.0)
+    assert got == pytest.approx(w * want, rel=1e-7)
+
+
+def test_eq_ode2_joint_gram_psd_and_grads():
+    import jax
+    from gpy_tpu.kern.eq_ode2 import EQ_ODE2
+
+    k = EQ_ODE2(output_dim=2, rank=1, W=np.array([[0.8], [0.5]]),
+                lengthscale=[0.7], C=[1.0, 1.4], B=[2.0, 1.2])
+    t = np.linspace(0.1, 2, 5).reshape(-1, 1)
+    Xf = np.vstack([np.hstack([t, np.zeros_like(t)]), np.hstack([t, np.ones_like(t)])])
+    Xu = np.hstack([t, np.full_like(t, 2.0)])
+    Kff = np.asarray(k.K(jnp.asarray(Xf)))
+    Kfu = np.asarray(k.K(jnp.asarray(Xf), jnp.asarray(Xu)))
+    Kuu = np.asarray(k.K(jnp.asarray(Xu), jnp.asarray(Xu)))
+    joint = np.block([[Kff, Kfu], [Kfu.T, Kuu]])
+    np.testing.assert_allclose(joint, joint.T, atol=1e-9)
+    assert np.linalg.eigvalsh(joint).min() > -1e-7
+    # gradients flow through the complex path
+    def f(flat):
+        k2 = k.with_flat_raw(flat)
+        return jnp.sum(k2.K(jnp.asarray(Xf), jnp.asarray(Xu)))
+    g = np.asarray(jax.grad(f)(k.get_flat_raw()))
+    assert np.all(np.isfinite(g))
+    eps = 1e-6
+    flat = np.asarray(k.get_flat_raw())
+    for i in [0, 1, 3, 5]:
+        fp = flat.copy(); fp[i] += eps
+        fm = flat.copy(); fm[i] -= eps
+        fd = (float(f(jnp.asarray(fp))) - float(f(jnp.asarray(fm)))) / (2 * eps)
+        assert g[i] == pytest.approx(fd, rel=1e-4, abs=1e-7)
