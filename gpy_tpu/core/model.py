@@ -220,3 +220,30 @@ class Model(Module):
             for i in range(x.size):
                 print(f"{paths[i]:<40} {g[i]:>12.6f} {num[i]:>12.6f} {ratio[i]:>10.2e}")
         return ok
+
+    # --- serialization surface (GPy: m.save_model / m.to_dict / pickle) ----
+    def to_dict(self):
+        from ..util.serialization import to_dict as _td
+
+        return _td(self)
+
+    @staticmethod
+    def from_dict(d):
+        from ..util.serialization import from_dict as _fd
+
+        return _fd(d)
+
+    def save_model(self, output_filename, compress=True, save_data=True):
+        from ..util.serialization import save_model as _sm
+
+        return _sm(self, output_filename, compress=compress)
+
+    def pickle(self, path):
+        """GPy: m.pickle(path) — binary snapshot (gzip pickle)."""
+        import gzip
+        import pickle as _p
+
+        state = {k: v for k, v in self.__dict__.items() if k not in ("_objgrad_cache", "_posterior_cache", "_fit_chunk_cache")}
+        with gzip.open(path, "wb") as f:
+            _p.dump((type(self), state), f)
+        return path
