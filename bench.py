@@ -73,7 +73,9 @@ def main():
 
     print("bench: compiling svgp step...", file=sys.stderr, flush=True)
     steps = 100
-    # warmup with the same chunk shape so the timed run reuses the executable
+    # warm up TWICE with the same chunk shape: the first fit compiles, the
+    # second retraces once for the updated on-device parameter layouts
+    model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
     model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
     print("bench: timing svgp...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
