@@ -143,3 +143,23 @@ def test_gp_multiout_regression_md():
     assert np.isfinite(float(m.log_likelihood()))
     m.optimize(max_iters=100)
     assert np.isfinite(float(m.log_likelihood()))
+
+
+def test_cluster_with_offset():
+    from gpy_tpu.util.cluster_with_offset import cluster
+
+    # two groups of series: sin-shaped and cos-shaped
+    x = np.linspace(0, 5, 15).reshape(-1, 1)
+    inputs = [x.copy() for _ in range(4)]
+    data = [
+        np.sin(x.T) + 0.05 * rng.standard_normal((1, 15)),
+        np.sin(x.T + 0.3) + 0.05 * rng.standard_normal((1, 15)),
+        3 + np.cos(2 * x.T) + 0.05 * rng.standard_normal((1, 15)),
+        3 + np.cos(2 * x.T + 0.2) + 0.05 * rng.standard_normal((1, 15)),
+    ]
+    clusters = cluster(data, inputs)
+    # the two sin series should end up together, separate from the cos pair
+    sets = [set(c) for c in clusters]
+    assert any({0, 1} <= s and not ({2, 3} & s) for s in sets) or any(
+        {2, 3} <= s and not ({0, 1} & s) for s in sets
+    )
