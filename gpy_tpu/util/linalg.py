@@ -72,17 +72,14 @@ def _chol_ok(L: jax.Array) -> jax.Array:
     return jnp.all(jnp.isfinite(L))
 
 
-def _find_jitter(A: jax.Array, jitter0: jax.Array, maxtries: int):
+def _find_jitter(ok0, A_sg: jax.Array, jitter0: jax.Array, maxtries: int):
     """Smallest jitter from the escalation ladder making chol(A + jI) succeed.
 
-    Runs on a stop_gradient'd copy (while_loop is not reverse-differentiable);
-    the caller re-does ONE differentiable cholesky with the selected jitter.
-    Returns 0 when no jitter is needed.
+    Runs on a stop_gradient'd copy (while_loop is not reverse-differentiable).
+    Returns 0 when no jitter is needed (ok0 True: loop body never executes).
     """
-    A = lax.stop_gradient(A)
-    n = A.shape[-1]
-    eye = jnp.eye(n, dtype=A.dtype)
-    ok0 = _chol_ok(jnp.linalg.cholesky(A))
+    n = A_sg.shape[-1]
+    eye = jnp.eye(n, dtype=A_sg.dtype)
 
     def cond(state):
         ok, jit_amount, tries = state
@@ -90,7 +87,7 @@ def _find_jitter(A: jax.Array, jitter0: jax.Array, maxtries: int):
 
     def body(state):
         _, jit_amount, tries = state
-        ok = _chol_ok(jnp.linalg.cholesky(A + jit_amount * eye))
+        ok = _chol_ok(jnp.linalg.cholesky(A_sg + jit_amount * eye))
         return ok, jnp.where(ok, jit_amount, jit_amount * 10.0), tries + 1
 
     _, jit_used, _ = lax.while_loop(cond, body, (ok0, jitter0, jnp.array(0)))
@@ -100,34 +97,47 @@ def _find_jitter(A: jax.Array, jitter0: jax.Array, maxtries: int):
 def jitchol(A: jax.Array, maxtries: int | None = None):
     """Cholesky with escalating-jitter retry ladder, reverse-mode safe.
 
-    GPy: util/linalg.py:56-82 (jitchol). The ladder (1e-6*mean(diag) start,
-    10x escalation, maxtries) runs as a compiled while_loop on a
-    stop_gradient'd copy; gradients flow through a single final cholesky.
+    GPy: util/linalg.py:56-82 (jitchol). One differentiable cholesky probes
+    the matrix; when it succeeds (the common case) it IS the result — no
+    second factorization. Only on failure does the stop-gradient while_loop
+    ladder run (1e-6*mean(diag) start, 10x escalation, maxtries) followed by
+    one differentiable re-factorization with the selected jitter.
     """
     if maxtries is None:
         maxtries = config.max_jitter_tries
+    n = A.shape[-1]
     diag_mean = jnp.abs(jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1)))
+    L0 = jnp.linalg.cholesky(A)  # differentiable probe == result when clean
+    ok0 = _chol_ok(lax.stop_gradient(L0))
     jitter0 = lax.stop_gradient(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
-    jit_used = _find_jitter(A, jitter0, maxtries)
+    jit_used = _find_jitter(ok0, lax.stop_gradient(A), jitter0, maxtries)
     # gradient-consistent jitter: the ladder picks a stop-gradient *level*,
     # but the applied jitter scales differentiably with the matrix magnitude
     # (so e.g. d/d(kern.variance) sees jitter ∝ variance, matching the value).
     mult = jit_used / jnp.maximum(lax.stop_gradient(diag_mean), 1e-300)
-    n = A.shape[-1]
-    return jnp.linalg.cholesky(A + mult * diag_mean * jnp.eye(n, dtype=A.dtype))
+    return lax.cond(
+        ok0,
+        lambda: L0,
+        lambda: jnp.linalg.cholesky(A + mult * diag_mean * jnp.eye(n, dtype=A.dtype)),
+    )
 
 
 def chol_jitter_used(A: jax.Array, maxtries: int | None = None):
     """Like jitchol but also returns the jitter actually applied."""
     if maxtries is None:
         maxtries = config.max_jitter_tries
-    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
-    jitter0 = lax.stop_gradient(
-        jnp.abs(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
-    )
-    jit_used = _find_jitter(A, jitter0, maxtries)
+    diag_mean = jnp.abs(jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1)))
+    L0 = jnp.linalg.cholesky(A)
+    ok0 = _chol_ok(lax.stop_gradient(L0))
+    jitter0 = lax.stop_gradient(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
+    jit_used = _find_jitter(ok0, lax.stop_gradient(A), jitter0, maxtries)
     n = A.shape[-1]
-    return jnp.linalg.cholesky(A + jit_used * jnp.eye(n, dtype=A.dtype)), jit_used
+    L = lax.cond(
+        ok0,
+        lambda: L0,
+        lambda: jnp.linalg.cholesky(A + jit_used * jnp.eye(n, dtype=A.dtype)),
+    )
+    return L, jit_used
 
 
 def dtrtrs(L: jax.Array, B: jax.Array, lower: bool = True, trans: bool = False):
