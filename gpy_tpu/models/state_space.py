@@ -54,7 +54,7 @@ class StateSpace(Model):
     state_space_main_tests.py compares Kalman vs dense results).
     """
 
-    def __init__(self, X, Y, kernel=None, noise_var=1.0, name="StateSpace"):
+    def __init__(self, X, Y, kernel=None, noise_var=1.0, parallel=False, name="StateSpace"):
         super().__init__(name=name)
         dt = default_dtype()
         X = np.asarray(X, dtype=float).reshape(-1)
@@ -65,6 +65,7 @@ class StateSpace(Model):
         self.__dict__["Y"] = jnp.asarray(Y[order], dtype=dt)
         self.num_data = X.shape[0]
         self.kern = kernel or Matern32(1)
+        self.parallel = bool(parallel)  # associative-scan (log-depth) filter
         self._add_param("noise_var", noise_var, transform=Logexp())
 
     # --- core filter --------------------------------------------------------
@@ -80,6 +81,94 @@ class StateSpace(Model):
 
         A, Q = jax.vmap(one)(dts)
         return A, Q
+
+    def _filter_parallel(self, times, ys, obs_mask=None):
+        """Associative-scan (log-depth) Kalman filter.
+
+        Temporal parallelization of the filtering recursion (Sarkka &
+        Garcia-Fernandez 2020): each step becomes a 5-tuple element
+        (A, b, C, eta, J) with an associative composition, evaluated with
+        `jax.lax.associative_scan` — O(log N) depth on TPU instead of the
+        sequential O(N) `lax.scan`. GPy has no equivalent (its Kalman loop
+        is sequential Cython: models/state_space_cython.pyx).
+
+        Returns the same tuple as `_filter`.
+        """
+        F, Lm, Qc, H, Pinf = combined_sde(self.kern)
+        s = F.shape[0]
+        dt = times.dtype
+        sigma2 = jnp.asarray(self.noise_var)
+        A, Q = self._discretize(F, Pinf, times)  # (N-1, s, s) each
+        n = ys.shape[0]
+        if obs_mask is None:
+            obs_mask = jnp.ones(n, dtype=bool)
+        eyeS = jnp.eye(s, dtype=dt)
+        Hv = H  # (1, s)
+
+        # --- per-step elements -------------------------------------------
+        def make_element(A_k, Q_k, y, observed):
+            # unobserved step: pure prediction element
+            S = (Hv @ Q_k @ Hv.T)[0, 0] + sigma2
+            K = (Q_k @ Hv.T) / S  # (s,1)
+            A_e = jnp.where(observed, (eyeS - K @ Hv) @ A_k, A_k)
+            b_e = jnp.where(observed, (K * y)[:, 0], jnp.zeros(s, dtype=dt))
+            C_e = jnp.where(observed, (eyeS - K @ Hv) @ Q_k, Q_k)
+            eta_e = jnp.where(observed, (A_k.T @ Hv.T / S * y)[:, 0], jnp.zeros(s, dtype=dt))
+            J_e = jnp.where(observed, A_k.T @ Hv.T @ Hv @ A_k / S, jnp.zeros((s, s), dtype=dt))
+            return A_e, b_e, C_e, eta_e, J_e
+
+        A_els, b_els, C_els, eta_els, J_els = jax.vmap(make_element)(A, Q, ys[1:], obs_mask[1:])
+
+        # first element: filter update of the prior (m0=0, P0=Pinf)
+        S1 = (Hv @ Pinf @ Hv.T)[0, 0] + sigma2
+        K1 = (Pinf @ Hv.T) / S1
+        b1 = jnp.where(obs_mask[0], (K1 * ys[0])[:, 0], jnp.zeros(s, dtype=dt))
+        C1 = jnp.where(obs_mask[0], (eyeS - K1 @ Hv) @ Pinf, Pinf)
+        A1 = jnp.zeros((s, s), dtype=dt)
+        eta1 = jnp.zeros(s, dtype=dt)
+        J1 = jnp.zeros((s, s), dtype=dt)
+
+        A_all = jnp.concatenate([A1[None], A_els], 0)
+        b_all = jnp.concatenate([b1[None], b_els], 0)
+        C_all = jnp.concatenate([C1[None], C_els], 0)
+        eta_all = jnp.concatenate([eta1[None], eta_els], 0)
+        J_all = jnp.concatenate([J1[None], J_els], 0)
+
+        # --- associative composition (i before j) ------------------------
+        def combine(ei, ej):
+            Ai, bi, Ci, etai, Ji = ei
+            Aj, bj, Cj, etaj, Jj = ej
+            sdim = Ai.shape[-1]
+            I = jnp.eye(sdim, dtype=Ai.dtype)
+            # A_j (I + C_i J_j)^{-1}  ==  solve((I + C_i J_j)^T, A_j^T)^T
+            M = jnp.linalg.solve(
+                jnp.swapaxes(I + Ci @ Jj, -1, -2), jnp.swapaxes(Aj, -1, -2)
+            )
+            AjM = jnp.swapaxes(M, -1, -2)
+            A_new = AjM @ Ai
+            b_new = (AjM @ (bi[..., None] + Ci @ etaj[..., None]))[..., 0] + bj
+            C_new = AjM @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
+            eta_new = (jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(I + Jj @ Ci, (etaj - (Jj @ bi[..., None])[..., 0])[..., None]))[..., 0] + etai
+            J_new = jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(I + Jj @ Ci, Jj @ Ai) + Ji
+            return A_new, b_new, C_new, eta_new, J_new
+
+        Af, bf, Cf, _, _ = jax.lax.associative_scan(
+            combine, (A_all, b_all, C_all, eta_all, J_all)
+        )
+        ms = bf[..., None]  # filtered means (n, s, 1)
+        Ps = Cf
+        # predictive quantities for log-lik and smoothing
+        mpreds = jnp.concatenate(
+            [jnp.zeros((1, s, 1), dtype=dt), jnp.einsum("nij,njk->nik", A, ms[:-1])], 0
+        )
+        Ppreds = jnp.concatenate(
+            [Pinf[None], jnp.einsum("nij,njk,nlk->nil", A, Ps[:-1], A) + Q], 0
+        )
+        v = ys[:, None, None] - jnp.einsum("ij,njk->nik", Hv, mpreds)
+        Sp = jnp.einsum("ij,njk,lk->nil", Hv, Ppreds, Hv)[:, 0, 0] + sigma2
+        lls = -0.5 * (LOG_2_PI + jnp.log(Sp) + v[:, 0, 0] ** 2 / Sp)
+        logL = jnp.sum(jnp.where(obs_mask, lls, 0.0))
+        return logL, ms, Ps, mpreds, Ppreds, A, H
 
     def _filter(self, times, ys, obs_mask=None):
         """Kalman filter. Returns (logL, filtered means, covs, pred means/covs)."""
@@ -147,7 +236,8 @@ class StateSpace(Model):
 
     # --- Model interface ----------------------------------------------------
     def log_likelihood(self):
-        logL, *_ = self._filter(self.X, self.Y[:, 0])
+        filt = self._filter_parallel if self.parallel else self._filter
+        logL, *_ = filt(self.X, self.Y[:, 0])
         return logL
 
     def predict(self, Xnew, include_likelihood=True):
@@ -169,7 +259,8 @@ class StateSpace(Model):
             np.concatenate([np.ones_like(Xtr, dtype=bool), np.zeros_like(Xnew, dtype=bool)])[order]
         )
         # guard against zero dt (duplicate times): add tiny epsilon spacing
-        _, ms, Ps, mpreds, Ppreds, A, H = self._filter(times, ys, mask)
+        filt = self._filter_parallel if self.parallel else self._filter
+        _, ms, Ps, mpreds, Ppreds, A, H = filt(times, ys, mask)
         ms_s, Ps_s = self._smooth(ms, Ps, mpreds, Ppreds, A)
         mu_all = jnp.einsum("ij,njk->ni", H, ms_s)  # (n,1)
         var_all = jnp.einsum("ij,njk,lk->nil", H, Ps_s, H)[:, 0, 0]

@@ -108,3 +108,23 @@ def test_bias_plus_matern_sde():
     ss = StateSpace(X, Yb, kernel=km, noise_var=0.1)
     dense = GPRegression(X, Yb, kernel=kd, noise_var=0.1)
     assert float(ss.log_likelihood()) == pytest.approx(float(dense.log_likelihood()), rel=1e-6)
+
+
+def test_parallel_filter_matches_sequential():
+    """Associative-scan Kalman == sequential scan (log-lik and predictions)."""
+    X, Y = _toy(40)
+    kern = lambda: gk.Matern32(1, variance=1.1, lengthscale=0.8)
+    seq = StateSpace(X, Y, kernel=kern(), noise_var=0.15, parallel=False)
+    par = StateSpace(X, Y, kernel=kern(), noise_var=0.15, parallel=True)
+    assert float(par.log_likelihood()) == pytest.approx(float(seq.log_likelihood()), rel=1e-10)
+    Xs = np.linspace(0.2, 4.8, 9).reshape(-1, 1)
+    mu1, v1 = seq.predict(Xs)
+    mu2, v2 = par.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, atol=1e-8)
+    np.testing.assert_allclose(v1, v2, atol=1e-8)
+
+
+def test_parallel_filter_checkgrad():
+    X, Y = _toy(25)
+    par = StateSpace(X, Y, kernel=gk.Matern52(1), noise_var=0.2, parallel=True)
+    assert par.checkgrad()
