@@ -18,10 +18,8 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
-
 from ..inference.svgp import SVGPInference, svgp_elbo_parts
-from ..util.choleskies import flat_to_triang, num_flat, triang_to_flat
+from ..util.choleskies import flat_to_triang, triang_to_flat
 from .sparse_gp import SparseGP
 
 __all__ = ["SVGP"]

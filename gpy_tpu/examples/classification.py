@@ -2,8 +2,6 @@
 (toy_linear_1d_classification, crescent_data, sparse variants, oil)."""
 from __future__ import annotations
 
-import numpy as np
-
 from ..models import GPClassification, GPClassificationLaplace, SparseGPClassification
 from ..util import datasets
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.gp import GP
-from ..inference import Laplace, EP
+from ..inference import Laplace
 from ..likelihoods import StudentT, Poisson
 import gpy_tpu.kern as kern
 

@@ -10,8 +10,6 @@ instead of the reference's sequential rank-1 updates.
 """
 from __future__ import annotations
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax import lax

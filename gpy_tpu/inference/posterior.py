@@ -8,12 +8,10 @@ produced inside jitted inference functions. `woodbury_inv` is computed on
 demand (needed only for full-covariance prediction and EP)."""
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..util.linalg import dpotri, dpotrs
+from ..util.linalg import dpotri
 
 __all__ = ["Posterior"]
 

@@ -13,7 +13,6 @@ dF/dZ and dF/d(qX mean,var) for free (BGPLVM path).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 

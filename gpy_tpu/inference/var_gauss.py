@@ -6,7 +6,6 @@ parameters (alpha, lambda); works with any likelihood via GH quadrature.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from ..core.transformations import Logexp
 from .kern import Kern
-from .stationary import Exponential, Matern32, Matern52
 
 __all__ = ["StdPeriodic", "PeriodicExponential", "PeriodicMatern32", "PeriodicMatern52"]
 

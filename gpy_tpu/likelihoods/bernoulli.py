@@ -11,7 +11,7 @@ from jax.scipy.special import log_ndtr, ndtr
 from jax.scipy.stats import norm
 
 from .likelihood import Likelihood
-from .link_functions import Probit, Heaviside
+from .link_functions import Probit
 
 __all__ = ["Bernoulli"]
 

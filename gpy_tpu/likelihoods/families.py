@@ -8,7 +8,6 @@ conditional moments — everything else is autodiff + the base quadrature.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln, log_ndtr

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 
 from .core.module import Module
-from .core.transformations import Logexp
 
 __all__ = ["Mapping", "Linear", "Constant", "Additive", "Compound", "Identity", "MLP", "Kernel"]
 

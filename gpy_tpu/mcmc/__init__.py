@@ -18,8 +18,6 @@ set True for the mathematically exact posterior.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 
 from ..core.gp import GP
 from ..core.sparse_gp import SparseGP
-from ..core.transformations import Logexp
 from ..inference.exact import ExactGaussianInference
 from ..kern import RBF
 from ..likelihoods import Gaussian, HeteroscedasticGaussian

@@ -11,7 +11,6 @@ is O(sum n_d^3 + N sum n_d) instead of O(N^3).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..core.model import Model

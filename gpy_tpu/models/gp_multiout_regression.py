@@ -18,7 +18,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.svgp import SVGP
-from ..core.transformations import Logexp
 from ..kern import RBF
 from ..kern.kern import Kern
 from ..likelihoods import Gaussian

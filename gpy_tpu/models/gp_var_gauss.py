@@ -10,7 +10,6 @@ import jax.numpy as jnp
 from ..core.gp import GP
 from ..core.transformations import Logexp
 from ..inference.var_gauss import VarGauss
-from ..kern import RBF
 
 __all__ = ["GPVariationalGaussianApproximation"]
 

@@ -5,7 +5,6 @@ Reference: GPy/models/multioutput_gp.py:24.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..core.gp import GP
 from ..inference.exact import ExactGaussianInference

@@ -20,9 +20,6 @@ expression otherwise (identical math).
 """
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 

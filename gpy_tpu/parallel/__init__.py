@@ -24,8 +24,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..inference.svgp import svgp_elbo_parts
-
 __all__ = [
     "make_mesh",
     "shard_rows",

@@ -17,8 +17,6 @@ Design notes (TPU):
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kern import Coregionalize, Kern
+from ..kern import Coregionalize
 from ..likelihoods import Gaussian, MixedNoise
 
 __all__ = ["build_XY", "build_likelihood", "ICM", "LCM", "Private", "index_to_slices"]
