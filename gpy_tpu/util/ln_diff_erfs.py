@@ -15,14 +15,15 @@ __all__ = ["erfcx", "ln_diff_erf"]
 def erfcx(x):
     """Scaled complementary error function exp(x^2) erfc(x), stable for all x.
 
-    Direct product for |x| <= 6; asymptotic series 1/(x sqrt(pi)) *
-    (1 - 1/(2x^2) + 3/(4x^4) - 15/(8x^6)) for large positive x.
+    Direct product for |x| <= 25 (both factors representable in f64 there);
+    asymptotic series 1/(x sqrt(pi)) * (1 - 1/(2x^2) + 3/(4x^4) - 15/(8x^6))
+    beyond.
     """
     x = jnp.asarray(x)
-    small = jnp.abs(x) <= 6.0
+    small = jnp.abs(x) <= 25.0
     xs = jnp.where(small, x, 1.0)
     direct = jnp.exp(xs**2) * erfc(xs)
-    xl = jnp.where(small, 7.0, x)
+    xl = jnp.where(small, 26.0, x)
     inv2 = 1.0 / (xl * xl)
     asym = (1.0 + inv2 * (-0.5 + inv2 * (0.75 - 1.875 * inv2))) / (
         xl * np.sqrt(np.pi)
