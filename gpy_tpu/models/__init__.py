@@ -23,6 +23,7 @@ from .sparse_gp_minibatch import SparseGPMiniBatch, BayesianGPLVMMiniBatch
 from .state_space import StateSpace
 from .gp_multiout_regression import GPMultioutRegression, GPMultioutRegressionMD
 from .ss_gplvm import SSGPLVM, SSMRD
+from .ibp_lfm import IBPLFM
 from ..core.svgp import SVGP
 
 __all__ = [
@@ -57,4 +58,5 @@ __all__ = [
     "GPMultioutRegressionMD",
     "SSGPLVM",
     "SSMRD",
+    "IBPLFM",
 ]

@@ -162,3 +162,21 @@ def test_eq_ode2_joint_gram_psd_and_grads():
         fm = flat.copy(); fm[i] -= eps
         fd = (float(f(jnp.asarray(fp))) - float(f(jnp.asarray(fm)))) / (2 * eps)
         assert g[i] == pytest.approx(fd, rel=1e-4, abs=1e-7)
+
+
+def test_ibp_lfm():
+    from gpy_tpu.models.ibp_lfm import IBPLFM
+
+    rngl = np.random.default_rng(5)
+    t = np.linspace(0.1, 4, 25)
+    X = np.vstack([np.stack([t, np.zeros_like(t)], 1), np.stack([t, np.ones_like(t)], 1)])
+    Y = np.concatenate([np.sin(1.5 * t) * 0.8, 0.05 * rngl.standard_normal(25)]).reshape(-1, 1)
+    m = IBPLFM(X, Y, input_dim=2, output_dim=2, rank=2, num_inducing=12)
+    ll0 = float(m.log_likelihood())
+    assert m.checkgrad(step=1e-5)
+    m.optimize(max_iters=150)
+    assert float(m.log_likelihood()) > ll0
+    g = m.gates
+    assert g.shape == (2, 2)
+    # the driven output keeps larger total gate mass than the noise output
+    assert g[0].max() > g[1].min()
