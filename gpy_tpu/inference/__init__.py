@@ -8,6 +8,7 @@ from .fitc import FITC, DTC, PEP
 from .svgp import SVGPInference
 from .var_gauss import VarGauss
 from .var_dtc_missing import VarDTCMissingData
+from .epdtc import EPDTC
 
 __all__ = [
     "LatentFunctionInference",
@@ -23,4 +24,5 @@ __all__ = [
     "SVGPInference",
     "VarGauss",
     "VarDTCMissingData",
+    "EPDTC",
 ]
