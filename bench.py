@@ -96,9 +96,17 @@ def main():
     ref_steps_per_s = 1.0 / ref_step
     vs_baseline = steps_per_s / ref_steps_per_s
 
-    # --- extras: exact GP NLML+grad and HMC throughput ----------------------
+    # --- extras: exact GP NLML+grad (guarded — the TPU tunnel on this host
+    # intermittently stalls; the primary metric must always print) ----------
     extra = {}
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("extra timed out")
+
     try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(180)
         from gpy_tpu.models import GPRegression
 
         n_exact = 4096
@@ -116,6 +124,8 @@ def main():
         extra["exact_nlml_grad_ms_n4096"] = (time.perf_counter() - t0) / 5 * 1e3
     except Exception as e:  # pragma: no cover
         extra["exact_nlml_grad_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
 
     out = {
         "metric": "svgp_elbo_steps_per_s",
