@@ -18,7 +18,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rbf_sde", "std_periodic_sde", "bias_sde", "attach_sde"]
+__all__ = [
+    "rbf_sde",
+    "std_periodic_sde",
+    "bias_sde",
+    "linear_sde",
+    "brownian_sde",
+    "attach_sde",
+]
 
 _RBF_ORDER = 6
 
@@ -118,17 +125,69 @@ def bias_sde(variance):
     )
 
 
+def linear_sde(variances, t0=0.0):
+    """Linear kernel k(s,t)=v*s*t as an SDE: f(t)=f0+(t-t0)*b with
+    [f0, b] ~ N(0, v*[[t0^2, t0],[t0, 1]]).
+
+    Nonstationary: returns the 6-tuple (F, L, Qc, H, Pinf, P0) with
+    Pinf = 0 (no stationary distribution) and the exact initial P0 at the
+    first filter time t0. cov(f(s), f(t)) = v*s*t exactly for all s,t.
+    GPy: sde_linear.py:44-66 (which requires X at kernel construction to
+    fix t0; here t0 flows in from the filter so prediction at times before
+    min(X) stays exact).
+    """
+    v = jnp.asarray(variances).reshape(-1)[0]
+    t0 = jnp.asarray(t0)
+    F = jnp.asarray([[0.0, 1.0], [0.0, 0.0]])
+    L = jnp.asarray([[0.0], [1.0]])
+    Qc = jnp.zeros((1, 1))
+    H = jnp.asarray([[1.0, 0.0]])
+    Pinf = jnp.zeros((2, 2))
+    P0 = v * jnp.stack([jnp.stack([t0 * t0, t0]), jnp.stack([t0, jnp.ones_like(t0)])])
+    return F, L, Qc, H, Pinf, P0
+
+
+def brownian_sde(variance, t0=0.0):
+    """Brownian motion k(s,t)=v*min(s,t) (t >= 0): df = dW, one state.
+
+    Exact 1-state form (the reference uses a 2-state workaround so that its
+    Q = Pinf - A Pinf A' discretization produces Q = v*dt; with Van Loan
+    discretization the direct form works: GPy sde_brownian.py:35-59).
+    P0 = v*max(t0, 0) makes the filter exact when the first time is > 0
+    (the reference hard-codes P0 = 0, i.e. assumes t0 = 0).
+
+    Limitation (shared with the reference): only valid for times >= 0.
+    The dense Brownian kernel k = v*min(|x|,|x'|)*[sign match] reflects
+    around 0; the forward-time SDE cannot represent that, so StateSpace
+    with negative inputs will disagree with the dense GP.
+    """
+    v = jnp.asarray(variance)
+    t0 = jnp.asarray(t0)
+    t0p = jnp.where(t0 < 0, 0.0, t0)  # where: clean gradient at the 0 tie
+    F = jnp.zeros((1, 1))
+    L = jnp.ones((1, 1))
+    Qc = v.reshape(1, 1)
+    H = jnp.ones((1, 1))
+    Pinf = jnp.zeros((1, 1))
+    P0 = (v * t0p).reshape(1, 1)
+    return F, L, Qc, H, Pinf, P0
+
+
 def attach_sde():
-    """Attach sde() methods to RBF / StdPeriodic / Bias kernel classes."""
+    """Attach sde() methods to RBF / StdPeriodic / Bias / Linear / Brownian."""
     from .stationary import RBF
     from .periodic import StdPeriodic
     from .static import Bias
+    from .linear import Linear
+    from .misc import Brownian
 
     RBF.sde = lambda self: rbf_sde(self.variance, self.lengthscale)
     StdPeriodic.sde = lambda self: std_periodic_sde(
         self.variance, self.period, self.lengthscale
     )
     Bias.sde = lambda self: bias_sde(self.variance)
+    Linear.sde = lambda self, t0=0.0: linear_sde(self.variances, t0)
+    Brownian.sde = lambda self, t0=0.0: brownian_sde(self.variance, t0)
 
 
 attach_sde()

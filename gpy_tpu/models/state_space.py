@@ -8,10 +8,13 @@ TPU design: the entire subsystem collapses to two `lax.scan`s (filter +
 RTS smoother) over jittable per-step linear algebra on tiny (s x s) state
 matrices, with hyperparameter gradients by autodiff through the scan —
 replacing ~5k lines of hand-written derivative recursions. Discretization
-A = expm(F dt) uses jax.scipy.linalg.expm (differentiable); the process
-noise of the stationary prior is Q = Pinf - A Pinf A', exact for LTI SDEs
-started from stationarity. Kernels supply (F, L, Qc, H, Pinf) via .sde()
-(Exponential/OU, Matern32, Matern52, and sums via block-diagonal stacking).
+A = expm(F dt) uses jax.scipy.linalg.expm (differentiable); process noise
+Q is Pinf - A Pinf A' for stationary blocks (exact for LTI SDEs started
+from stationarity) and the Van Loan matrix-exponential integral for
+nonstationary blocks (Linear, Brownian). Kernels supply (F, L, Qc, H,
+Pinf[, P0]) via .sde() (Exponential/OU, Matern32/52, RBF, StdPeriodic,
+Bias, Linear, Brownian; sums stack block-diagonally, White summands fold
+exactly into the observation noise).
 """
 from __future__ import annotations
 
@@ -23,28 +26,81 @@ from jax import lax
 from ..core.model import Model
 from ..core.transformations import Logexp
 from ..config import default_dtype
-from ..kern import Add, Kern, Matern32
+from ..kern import Add, Kern, Matern32, White
 
-__all__ = ["StateSpace", "combined_sde"]
+__all__ = ["StateSpace", "combined_sde", "sde_parts"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
 
 
-def combined_sde(kern: Kern):
-    """(F, L, Qc, H, Pinf) for a kernel; sums stack block-diagonally.
+def sde_parts(kern: Kern, t0=0.0):
+    """Flatten a (possibly summed) kernel into SDE blocks.
 
-    GPy: sde kernels return the same tuple (e.g. stationary.py:520-554);
-    sum handling mirrors GPy/models/state_space_model.py.
+    Returns ``(parts, white_var)`` where each part is a tuple
+    ``(F, L, Qc, H, Pinf, P0, stationary)``. Kernels whose ``sde()`` returns
+    the 5-tuple (F, L, Qc, H, Pinf) are stationary (P0 = Pinf, exact
+    discretization Q = Pinf - A Pinf A'); a 6-tuple with a distinct P0 marks
+    a nonstationary prior (Linear/Brownian), discretized by Van Loan.
+    White-kernel summands have no state: their variance is exactly
+    absorbed into the observation noise (the reference instead uses an
+    F = -inf placeholder state, GPy sde_static.py:35-58).
+
+    GPy: sum handling mirrors GPy/models/state_space_model.py (block-diag
+    stacking of the per-part state spaces).
     """
     if isinstance(kern, Add):
-        parts = [combined_sde(p) for p in kern.parts]
-        F = jax.scipy.linalg.block_diag(*[p[0] for p in parts])
-        L = jax.scipy.linalg.block_diag(*[p[1] for p in parts])
-        Qc = jax.scipy.linalg.block_diag(*[p[2] for p in parts])
-        H = jnp.concatenate([p[3] for p in parts], axis=1)
-        Pinf = jax.scipy.linalg.block_diag(*[p[4] for p in parts])
-        return F, L, Qc, H, Pinf
-    return kern.sde()
+        parts, white = [], 0.0
+        for p in kern.parts:
+            ps, w = sde_parts(p, t0)
+            parts.extend(ps)
+            white = white + w
+        return parts, white
+    if isinstance(kern, White):
+        return [], jnp.asarray(kern.variance)
+    try:
+        tup = kern.sde(t0=t0)
+    except TypeError:
+        tup = kern.sde()
+    if len(tup) == 5:
+        F, L, Qc, H, Pinf = tup
+        return [(F, L, Qc, H, Pinf, Pinf, True)], 0.0
+    F, L, Qc, H, Pinf, P0 = tup
+    return [(F, L, Qc, H, Pinf, P0, False)], 0.0
+
+
+def combined_sde(kern: Kern, t0=0.0):
+    """(F, L, Qc, H, Pinf, P0) for a kernel; sums stack block-diagonally.
+
+    White summands are excluded (they carry observation noise, no state —
+    see `sde_parts`). GPy: sde kernels return analogous tuples
+    (e.g. stationary.py:520-554)."""
+    parts, _ = sde_parts(kern, t0)
+    if not parts:
+        raise ValueError("kernel has no SDE state (White-only kernel?)")
+    F = jax.scipy.linalg.block_diag(*[p[0] for p in parts])
+    L = jax.scipy.linalg.block_diag(*[p[1] for p in parts])
+    Qc = jax.scipy.linalg.block_diag(*[p[2] for p in parts])
+    H = jnp.concatenate([p[3] for p in parts], axis=1)
+    Pinf = jax.scipy.linalg.block_diag(*[p[4] for p in parts])
+    P0 = jax.scipy.linalg.block_diag(*[p[5] for p in parts])
+    return F, L, Qc, H, Pinf, P0
+
+
+def _van_loan(F, LQcLt, dt):
+    """A = expm(F dt) and Q = int_0^dt e^{Fs} L Qc L' e^{F's} ds via the
+    Van Loan (1978) block-matrix exponential — exact for any LTI SDE,
+    stationary or not."""
+    s = F.shape[0]
+    M = (
+        jnp.zeros((2 * s, 2 * s), dtype=F.dtype)
+        .at[:s, :s].set(-F)
+        .at[:s, s:].set(LQcLt)
+        .at[s:, s:].set(F.T)
+    )
+    Phi = jax.scipy.linalg.expm(M * dt)
+    A = Phi[s:, s:].T
+    Q = A @ Phi[:s, s:]
+    return A, 0.5 * (Q + Q.T)
 
 
 class StateSpace(Model):
@@ -69,18 +125,41 @@ class StateSpace(Model):
         self._add_param("noise_var", noise_var, transform=Logexp())
 
     # --- core filter --------------------------------------------------------
-    def _discretize(self, F, Pinf, times):
-        """A_n = expm(F dt_n), Q_n = Pinf - A Pinf A' for each gap."""
+    def _ssm(self, times):
+        """Discretized state-space model over the time grid.
+
+        Returns (H, P0, A, Q, sigma2) with A, Q of shape (N-1, s, s).
+        Stationary blocks use the exact Q = Pinf - A Pinf A'; nonstationary
+        blocks (Linear/Brownian) use the Van Loan integral, which stays
+        finite where Pinf does not exist. White summands fold into sigma2.
+        """
+        parts, white = sde_parts(self.kern, t0=times[0])
+        if not parts:
+            raise ValueError("kernel has no SDE state (White-only kernel?)")
         dts = jnp.diff(times)
+        dt = times.dtype
         expm = jax.scipy.linalg.expm
-
-        def one(dt_):
-            A = expm(F * dt_)
-            Q = Pinf - A @ Pinf @ A.T
-            return A, Q
-
-        A, Q = jax.vmap(one)(dts)
-        return A, Q
+        sizes = [p[0].shape[0] for p in parts]
+        s = int(sum(sizes))
+        A = jnp.zeros((dts.shape[0], s, s), dtype=dt)
+        Q = jnp.zeros((dts.shape[0], s, s), dtype=dt)
+        off = 0
+        for (F, L, Qc, _H, Pinf, _P0, stationary), sp in zip(parts, sizes):
+            if stationary:
+                def one(dt_, F=F, Pinf=Pinf):
+                    Ap = expm(F * dt_)
+                    return Ap, Pinf - Ap @ Pinf @ Ap.T
+            else:
+                def one(dt_, F=F, LQcLt=L @ Qc @ L.T):
+                    return _van_loan(F, LQcLt, dt_)
+            Ap, Qp = jax.vmap(one)(dts)
+            A = A.at[:, off:off + sp, off:off + sp].set(Ap.astype(dt))
+            Q = Q.at[:, off:off + sp, off:off + sp].set(Qp.astype(dt))
+            off += sp
+        H = jnp.concatenate([p[3] for p in parts], axis=1).astype(dt)
+        P0 = jax.scipy.linalg.block_diag(*[jnp.asarray(p[5]) for p in parts]).astype(dt)
+        sigma2 = jnp.asarray(self.noise_var) + white
+        return H, P0, A, Q, sigma2
 
     def _filter_parallel(self, times, ys, obs_mask=None):
         """Associative-scan (log-depth) Kalman filter.
@@ -94,11 +173,9 @@ class StateSpace(Model):
 
         Returns the same tuple as `_filter`.
         """
-        F, Lm, Qc, H, Pinf = combined_sde(self.kern)
-        s = F.shape[0]
+        H, P0, A, Q, sigma2 = self._ssm(times)
+        s = P0.shape[0]
         dt = times.dtype
-        sigma2 = jnp.asarray(self.noise_var)
-        A, Q = self._discretize(F, Pinf, times)  # (N-1, s, s) each
         n = ys.shape[0]
         if obs_mask is None:
             obs_mask = jnp.ones(n, dtype=bool)
@@ -119,11 +196,11 @@ class StateSpace(Model):
 
         A_els, b_els, C_els, eta_els, J_els = jax.vmap(make_element)(A, Q, ys[1:], obs_mask[1:])
 
-        # first element: filter update of the prior (m0=0, P0=Pinf)
-        S1 = (Hv @ Pinf @ Hv.T)[0, 0] + sigma2
-        K1 = (Pinf @ Hv.T) / S1
+        # first element: filter update of the prior (m0=0, P0)
+        S1 = (Hv @ P0 @ Hv.T)[0, 0] + sigma2
+        K1 = (P0 @ Hv.T) / S1
         b1 = jnp.where(obs_mask[0], (K1 * ys[0])[:, 0], jnp.zeros(s, dtype=dt))
-        C1 = jnp.where(obs_mask[0], (eyeS - K1 @ Hv) @ Pinf, Pinf)
+        C1 = jnp.where(obs_mask[0], (eyeS - K1 @ Hv) @ P0, P0)
         A1 = jnp.zeros((s, s), dtype=dt)
         eta1 = jnp.zeros(s, dtype=dt)
         J1 = jnp.zeros((s, s), dtype=dt)
@@ -162,7 +239,7 @@ class StateSpace(Model):
             [jnp.zeros((1, s, 1), dtype=dt), jnp.einsum("nij,njk->nik", A, ms[:-1])], 0
         )
         Ppreds = jnp.concatenate(
-            [Pinf[None], jnp.einsum("nij,njk,nlk->nil", A, Ps[:-1], A) + Q], 0
+            [P0[None], jnp.einsum("nij,njk,nlk->nil", A, Ps[:-1], A) + Q], 0
         )
         v = ys[:, None, None] - jnp.einsum("ij,njk->nik", Hv, mpreds)
         Sp = jnp.einsum("ij,njk,lk->nil", Hv, Ppreds, Hv)[:, 0, 0] + sigma2
@@ -172,12 +249,9 @@ class StateSpace(Model):
 
     def _filter(self, times, ys, obs_mask=None):
         """Kalman filter. Returns (logL, filtered means, covs, pred means/covs)."""
-        F, Lm, Qc, H, Pinf = combined_sde(self.kern)
-        s = F.shape[0]
-        sigma2 = jnp.asarray(self.noise_var)
-        A, Q = self._discretize(F, Pinf, times)
+        H, P0, A, Q, sigma2 = self._ssm(times)
+        s = P0.shape[0]
         m0 = jnp.zeros((s, 1), dtype=times.dtype)
-        P0 = Pinf
         if obs_mask is None:
             obs_mask = jnp.ones(ys.shape[0], dtype=bool)
 
@@ -266,6 +340,10 @@ class StateSpace(Model):
         var_all = jnp.einsum("ij,njk,lk->nil", H, Ps_s, H)[:, 0, 0]
         mu = np.asarray(mu_all)[inv][len(Xtr):]
         var = np.asarray(var_all)[inv][len(Xtr):]
+        # White summands carry no state; their variance is part of the
+        # latent f at new points (dense-GP semantics: Kdiag includes it).
+        _, white = sde_parts(self.kern, t0=times[0])
+        var = var + float(np.asarray(white))
         if include_likelihood:
             var = var + float(np.asarray(self.noise_var))
         return mu.reshape(-1, 1), np.maximum(var, 1e-12).reshape(-1, 1)

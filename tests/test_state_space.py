@@ -128,3 +128,46 @@ def test_parallel_filter_checkgrad():
     X, Y = _toy(25)
     par = StateSpace(X, Y, kernel=gk.Matern52(1), noise_var=0.2, parallel=True)
     assert par.checkgrad()
+
+
+# --- nonstationary SDE forms (Linear, Brownian) + White absorption ---------
+# Oracle as above: Kalman == dense GP. The reference implements sde_Linear /
+# sde_Brownian (GPy/kern/src/sde_linear.py, sde_brownian.py) and an
+# F=-inf sde_White placeholder (sde_static.py); here White folds exactly
+# into the observation noise and Linear/Brownian use Van Loan Q.
+
+def _toy_pos(n=35):
+    X = np.sort(0.3 + rng.random(n) * 4.5).reshape(-1, 1)
+    Y = np.sin(X * 1.5) + 0.2 * rng.standard_normal((n, 1))
+    return X, Y
+
+
+@pytest.mark.parametrize("kf", [
+    lambda: gk.Linear(1, variances=0.7),
+    lambda: gk.Brownian(1, variance=1.3),
+    lambda: gk.Matern32(1, 1.0, 0.6) + gk.White(1, variance=0.2),
+    lambda: gk.Linear(1, variances=0.5) + gk.Matern32(1, 0.9, 1.2),
+    lambda: gk.Brownian(1, variance=0.8) + gk.Linear(1, variances=0.3),
+], ids=["linear", "brownian", "mat32+white", "linear+mat32", "brownian+linear"])
+def test_kalman_nonstationary_nlml_and_predict(kf):
+    X, Y = _toy_pos(35)
+    ss = StateSpace(X, Y, kernel=kf(), noise_var=0.3)
+    dense = GPRegression(X, Y, kernel=kf(), noise_var=0.3)
+    assert float(ss.log_likelihood()) == pytest.approx(
+        float(dense.log_likelihood()), rel=1e-5, abs=1e-5)
+    Xs = np.linspace(0.1, 5.5, 9).reshape(-1, 1)
+    mu1, v1 = ss.predict(Xs)
+    mu2, v2 = dense.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, atol=1e-4)
+    np.testing.assert_allclose(v1, v2, atol=1e-4)
+    # parallel (associative-scan) filter parity on the same model
+    ssp = StateSpace(X, Y, kernel=kf(), noise_var=0.3, parallel=True)
+    assert float(ssp.log_likelihood()) == pytest.approx(
+        float(ss.log_likelihood()), rel=1e-9)
+
+
+def test_kalman_nonstationary_checkgrad():
+    X, Y = _toy_pos(20)
+    ss = StateSpace(X, Y, kernel=gk.Linear(1, variances=0.5) + gk.Brownian(1, variance=0.8),
+                    noise_var=0.2)
+    assert ss.checkgrad()
