@@ -96,8 +96,10 @@ class Model(Module):
     ):
         """Maximize the (penalized) marginal likelihood.
 
-        optimizer: 'lbfgsb' | 'bfgs' | 'tnc' | 'scg' (alias of lbfgsb) |
-        'adam' (on-device optax loop).
+        optimizer: 'lbfgsb' | 'bfgs' | 'tnc' | 'simplex' (Nelder-Mead) |
+        'scg' (Moller scaled conjugate gradients, GPy's classic default) |
+        'adam' | 'adagrad' | 'rmsprop' | 'adadelta' | 'rprop' (on-device
+        optax loops — the last two replace GPy's climin optimizers).
         GPy: GP.optimize core/gp.py:663-684 → paramz optimize.
         """
         for m in self.modules():
@@ -105,8 +107,10 @@ class Model(Module):
             if hook is not None and m is not self:
                 hook()
         try:
-            if optimizer in ("adam", "adagrad", "rmsprop"):
+            if optimizer in ("adam", "adagrad", "rmsprop", "adadelta", "rprop"):
                 res = self._optimize_optax(optimizer, max_iters, step_size, messages)
+            elif optimizer == "scg":
+                res = self._optimize_scg(max_iters, messages, gtol, ftol)
             else:
                 res = self._optimize_scipy(optimizer, max_iters, messages, gtol, ftol)
         finally:
@@ -136,22 +140,110 @@ class Model(Module):
             return v, g
 
         x0 = np.asarray(self.get_flat_raw(), dtype=np.float64)
-        method = {"lbfgsb": "L-BFGS-B", "bfgs": "BFGS", "tnc": "TNC", "scg": "L-BFGS-B", "lbfgs": "L-BFGS-B"}.get(
-            optimizer, "L-BFGS-B"
-        )
+        methods = {"lbfgsb": "L-BFGS-B", "bfgs": "BFGS", "tnc": "TNC",
+                   "lbfgs": "L-BFGS-B", "simplex": "Nelder-Mead",
+                   "neldermead": "Nelder-Mead"}
+        if optimizer not in methods:
+            raise ValueError(
+                f"unknown optimizer {optimizer!r}; choose from "
+                f"{sorted(methods) + ['scg', 'adam', 'adagrad', 'rmsprop', 'adadelta', 'rprop']}"
+            )
+        method = methods[optimizer]
         opts = {"maxiter": max_iters}
         if method == "L-BFGS-B":
             opts.update(dict(gtol=gtol, ftol=ftol, maxfun=15000 if max_iters < 15000 else max_iters * 2))
-        r = scipy.optimize.minimize(fg, x0, jac=True, method=method, options=opts)
+        if method == "Nelder-Mead":  # GPy 'simplex' (paramz opt_simplex): gradient-free
+            r = scipy.optimize.minimize(lambda x: fg(x)[0], x0, method=method, options=opts)
+        else:
+            r = scipy.optimize.minimize(fg, x0, jac=True, method=method, options=opts)
         self.set_flat_raw(jnp.asarray(r.x))
         if messages:
             print(f"Optimization finished: f={r.fun:.6f} after {n_evals[0]} evals ({r.message})")
         return OptimizationResult(r.x, float(r.fun), str(r.message), int(r.get("nit", -1)), bool(r.success))
 
+    def _optimize_scg(self, max_iters, messages, gtol, ftol, xtol=1e-8):
+        """Scaled conjugate gradients (Moller 1993) — GPy's classic 'scg'
+        optimizer (paramz/optimization/scg.py), reimplemented from the
+        published algorithm against the jitted objective+gradient."""
+        objgrad = self._get_objgrad()
+
+        def fg(x):
+            v, g = objgrad(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=np.float64)
+
+        x = np.asarray(self.get_flat_raw(), dtype=np.float64)
+        sigma0 = 1e-4
+        fold, gradnew = fg(x)
+        fnow = fold
+        gradold = gradnew.copy()
+        d = -gradnew
+        success = True
+        nsuccess = 0
+        beta, betamin, betamax = 1.0, 1e-15, 1e100
+        status = "maxiter reached"
+        it = 0
+        mu = kappa = theta = 0.0
+        for it in range(1, max_iters + 1):
+            if success:
+                mu = float(d @ gradnew)
+                if mu >= 0:
+                    d = -gradnew
+                    mu = float(d @ gradnew)
+                kappa = float(d @ d)
+                if kappa < 1e-30:
+                    status = "converged (zero direction)"
+                    break
+                sigma = sigma0 / np.sqrt(kappa)
+                _, gplus = fg(x + sigma * d)
+                theta = float(d @ (gplus - gradnew)) / sigma
+            delta = theta + beta * kappa  # scaled curvature
+            if delta <= 0:
+                delta = beta * kappa
+                beta = beta - theta / kappa
+            alpha = -mu / delta
+            xnew = x + alpha * d
+            fnew, _ = fg(xnew)
+            Delta = 2.0 * (fnew - fold) / (alpha * mu) if alpha * mu != 0 else -1.0
+            if Delta >= 0 and np.isfinite(fnew):
+                success = True
+                nsuccess += 1
+                x = xnew
+                fnow = fnew
+            else:
+                success = False
+                fnow = fold
+            if messages and it % 10 == 1:
+                print(f"  scg iter {it:4d}  obj {fnow:.6f}")
+            if success:
+                if (np.max(np.abs(alpha * d)) < xtol) and (abs(fnew - fold) < ftol):
+                    status = "converged (x/f tolerance)"
+                    break
+                fold = fnew
+                gradold = gradnew
+                _, gradnew = fg(x)
+                if float(gradnew @ gradnew) < gtol**2:
+                    status = "converged (gradient)"
+                    break
+            if Delta < 0.25:
+                beta = min(4.0 * beta, betamax)
+            if Delta > 0.75:
+                beta = max(0.5 * beta, betamin)
+            if nsuccess == x.size:
+                d = -gradnew
+                nsuccess = 0
+            elif success:
+                gamma = float((gradold - gradnew) @ gradnew) / mu
+                d = gamma * d - gradnew
+        self.set_flat_raw(jnp.asarray(x))
+        if messages:
+            print(f"SCG finished: f={fnow:.6f} after {it} iters ({status})")
+        return OptimizationResult(x, float(fnow), status, it, status != "maxiter reached")
+
     def _optimize_optax(self, optimizer, max_iters, step_size, messages):
         import optax
 
-        opt = {"adam": optax.adam, "adagrad": optax.adagrad, "rmsprop": optax.rmsprop}[optimizer](step_size)
+        opt = {"adam": optax.adam, "adagrad": optax.adagrad, "rmsprop": optax.rmsprop,
+               "adadelta": optax.adadelta, "rprop": optax.rprop}[optimizer](step_size)
         objgrad = self._get_objgrad()
 
         @jax.jit
@@ -168,7 +260,7 @@ class Model(Module):
             if messages and i % 100 == 0:
                 print(f"  iter {i:5d}  obj {float(v):.6f}")
         self.set_flat_raw(x)
-        return OptimizationResult(np.asarray(x), float(v), "adam finished", max_iters, True)
+        return OptimizationResult(np.asarray(x), float(v), f"{optimizer} finished", max_iters, True)
 
     def optimize_restarts(self, num_restarts=10, robust=False, verbose=True, parallel=False, seed=None, **kwargs):
         """GPy/paramz optimize_restarts: keep the best of several random inits."""

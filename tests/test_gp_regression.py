@@ -214,3 +214,24 @@ def test_priors_shift_map_estimate():
     m2.optimize()
     ls_map = float(m2.kern.lengthscale)
     assert ls_map < ls_ml  # dragged toward 0.1
+
+
+def test_optimizer_zoo_reaches_lbfgs_optimum():
+    """GPy's paramz optimizer surface: scg (Moller SCG), simplex
+    (Nelder-Mead), rprop/adadelta (climin in the reference; optax here)
+    all minimize the same jitted objective."""
+    rng = np.random.default_rng(11)
+    X = np.sort(rng.uniform(0, 5, 50))[:, None]
+    Y = np.sin(X * 1.4) + 0.2 * rng.standard_normal((50, 1))
+    ref = GPRegression(X, Y)
+    ref.optimize("lbfgsb")
+    f_ref = float(ref.objective_function())
+    for opt, iters in [("scg", 500), ("simplex", 800), ("rprop", 1500)]:
+        m = GPRegression(X, Y)
+        m.optimize(opt, max_iters=iters, step_size=0.05)
+        assert float(m.objective_function()) == pytest.approx(f_ref, abs=1e-2), opt
+    # adadelta: known-slow; just assert it improves the objective
+    m = GPRegression(X, Y)
+    f0 = float(m.objective_function())
+    m.optimize("adadelta", max_iters=300, step_size=1.0)
+    assert float(m.objective_function()) < f0
