@@ -1,4 +1,6 @@
 from . import linalg
 from . import normalizer
+from . import mocap
+from . import netpbmfile
 
-__all__ = ["linalg", "normalizer"]
+__all__ = ["linalg", "normalizer", "mocap", "netpbmfile"]

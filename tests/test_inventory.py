@@ -121,6 +121,11 @@ def test_util_surfaces_present():
     import gpy_tpu.util.cluster_with_offset
     import gpy_tpu.util.ln_diff_erfs
     import gpy_tpu.util.wofz
+    import gpy_tpu.util.mocap
+    import gpy_tpu.util.netpbmfile
+    assert hasattr(gpy_tpu.util.mocap, "acclaim_skeleton")
+    assert hasattr(gpy_tpu.util.mocap, "load_text_data")
+    assert hasattr(gpy_tpu.util.netpbmfile, "imread")
     import gpy_tpu.plotting
     import gpy_tpu.mappings
     import gpy_tpu.optimization
