@@ -129,3 +129,85 @@ def common_subarrays(X, axis=0):
     for i, row in enumerate(X):
         out.setdefault(tuple(row.tolist()), []).append(i)
     return out
+
+
+# --- GPy util/misc.py parity helpers (misc.py:16-122) ------------------------
+
+def safe_exp(f):
+    """exp with clipping to avoid overflow (GPy misc.py:16)."""
+    return jnp.exp(jnp.clip(f, -np.inf, np.log(np.finfo(np.float64).max) - 1.0))
+
+
+def safe_square(f):
+    clip = np.sqrt(np.finfo(np.float64).max) / 2.0
+    return jnp.square(jnp.clip(f, -clip, clip))
+
+
+def safe_cube(f):
+    clip = np.cbrt(np.finfo(np.float64).max) / 2.0
+    return jnp.clip(f, -clip, clip) ** 3
+
+
+def safe_quad(f):
+    clip = np.finfo(np.float64).max ** 0.25 / 2.0
+    return jnp.clip(f, -clip, clip) ** 4
+
+
+def safe_three_times(f):
+    return 3.0 * jnp.clip(f, -np.finfo(np.float64).max / 4.0, np.finfo(np.float64).max / 4.0)
+
+
+def chain_1(df_dg, dg_dx):
+    """d/dx f(g(x)) (GPy misc.py:36 — kept for API parity; autodiff makes
+    these unnecessary internally)."""
+    return df_dg * dg_dx
+
+
+def chain_2(d2f_dg2, dg_dx, df_dg, d2g_dx2):
+    """d2/dx2 f(g(x))."""
+    return d2f_dg2 * (dg_dx**2) + df_dg * d2g_dx2
+
+
+def chain_3(d3f_dg3, dg_dx, d2f_dg2, d2g_dx2, df_dg, d3g_dx3):
+    """d3/dx3 f(g(x))."""
+    return d3f_dg3 * (dg_dx**3) + 3.0 * d2f_dg2 * dg_dx * d2g_dx2 + df_dg * d3g_dx3
+
+
+def linear_grid(D, n=100, min_max=(-100, 100)):
+    """n linearly spaced points replicated over D columns (GPy misc.py:81)."""
+    g = np.linspace(min_max[0], min_max[1], n)
+    return np.ones((n, D)) * g[:, None]
+
+
+def kmm_init(X, m=10, seed=None):
+    """kmeans++-style inducing-point initialization (GPy misc.py:96):
+    iteratively draw points with probability proportional to squared
+    distance from the last chosen point."""
+    if m < 1:
+        raise ValueError(f"kmm_init needs m >= 1, got {m}")
+    X = np.asarray(X)
+    rng = np.random.default_rng(seed)
+    sq = np.sum(X * X, axis=1)
+    D = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+    s = int(rng.permutation(X.shape[0])[0])
+    chosen = [s]
+    prob = D[s] / D[s].sum()
+    for _ in range(m - 1):
+        s = int(rng.choice(X.shape[0], p=prob))
+        chosen.append(s)
+        prob = D[s] / D[s].sum()
+    return X[np.array(chosen)]
+
+
+def param_to_array(*param):
+    """GPy misc.py:125 converted ObsAr params to ndarrays; here parameters
+    are already array leaves, so this is a thin np.asarray map."""
+    arrays = [np.asarray(p) for p in param]
+    return arrays[0] if len(arrays) == 1 else arrays
+
+
+def opt_wrapper(m, **kwargs):
+    """Optimize a model and return it (GPy misc.py:72, used for
+    multiprocessing maps)."""
+    m.optimize(**kwargs)
+    return m

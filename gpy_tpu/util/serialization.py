@@ -118,9 +118,9 @@ def save_model(model: Module, path: str, compress: bool = True):
     """GPy: m.save_model(path) — gzip JSON."""
     data = json.dumps(to_dict(model)).encode()
     if compress or path.endswith(".gz"):
-        if not path.endswith(".gz"):
-            path = path + ".zip" if path.endswith(".json") else path
-        with gzip.open(path if path.endswith(("gz", "zip")) else path + ".gz", "wb") as f:
+        if not path.endswith((".gz", ".zip")):
+            path = path + (".zip" if path.endswith(".json") else ".gz")
+        with gzip.open(path, "wb") as f:
             f.write(data)
     else:
         with open(path, "wb") as f:
@@ -129,7 +129,15 @@ def save_model(model: Module, path: str, compress: bool = True):
 
 
 def load_model(path: str) -> Module:
-    """GPy: GPy.load(path)."""
+    """GPy: GPy.load(path). Tolerates the missing .gz/.zip suffix that
+    save_model appends when given a bare path."""
+    import os
+
+    if not os.path.exists(path):
+        for ext in (".gz", ".zip", ".json.gz"):
+            if os.path.exists(path + ext):
+                path = path + ext
+                break
     try:
         with gzip.open(path, "rb") as f:
             data = f.read()

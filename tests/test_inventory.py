@@ -123,9 +123,18 @@ def test_util_surfaces_present():
     import gpy_tpu.util.wofz
     import gpy_tpu.util.mocap
     import gpy_tpu.util.netpbmfile
+    import gpy_tpu.util.functions
+    import gpy_tpu.util.pca
+    import gpy_tpu.util.parallel
     assert hasattr(gpy_tpu.util.mocap, "acclaim_skeleton")
     assert hasattr(gpy_tpu.util.mocap, "load_text_data")
     assert hasattr(gpy_tpu.util.netpbmfile, "imread")
+    assert hasattr(gpy_tpu.util.pca, "PCA")
+    assert hasattr(gpy_tpu.util.parallel, "divide_data")
+    assert hasattr(gpy_tpu.util.parallel, "optimize_parallel")
+    from gpy_tpu.util.misc import (  # GPy util/misc.py + squashers + functions
+        safe_exp, chain_2, linear_grid, kmm_init, conf_matrix, sigmoid)
+    from gpy_tpu.util.functions import logisticln, normcdfln, differfln
     import gpy_tpu.plotting
     import gpy_tpu.mappings
     import gpy_tpu.optimization

