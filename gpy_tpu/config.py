@@ -24,7 +24,23 @@ def _enable_x64() -> None:
         jax.config.update("jax_enable_x64", True)
 
 
+def _set_matmul_precision() -> None:
+    """Force full-f32 matmul passes on TPU.
+
+    TPU DEFAULT matmul precision is one bf16 pass (~8e-3 relative error).
+    Squared-distance grams d2 = |x|^2 + |x'|^2 - 2 x.x' then come out wrong
+    by O(|x|^2 * 8e-3) — measured at +-3 absolute on a 4-D N=8192 problem,
+    which drives Cholesky to NaN. GP numerics are exactly the workload that
+    cannot tolerate this; 'highest' (six bf16 passes == f32 accuracy) is the
+    only safe default. Override with GPY_TPU_MATMUL_PRECISION=high|default
+    for experiments. No-op on CPU (true f32 there).
+    """
+    prec = os.environ.get("GPY_TPU_MATMUL_PRECISION", "highest")
+    jax.config.update("jax_default_matmul_precision", prec)
+
+
 _enable_x64()
+_set_matmul_precision()
 
 
 @dataclasses.dataclass

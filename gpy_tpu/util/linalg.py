@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..ops.blocked_linalg import cholesky_auto, solve_lower_auto
 from jax import lax
 
 from ..config import config
@@ -105,7 +106,8 @@ def jitchol(A: jax.Array, maxtries: int | None = None):
         maxtries = config.max_jitter_tries
     n = A.shape[-1]
     diag_mean = jnp.abs(jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1)))
-    L0 = jnp.linalg.cholesky(A)  # differentiable probe == result when clean
+    L0 = cholesky_auto(A)  # differentiable probe == result when clean
+    # (blocked recursive chol for large N: pure-matmul MXU path, see ops/blocked_linalg.py)
     ok0 = _chol_ok(lax.stop_gradient(L0))
     jitter0 = lax.stop_gradient(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
     jit_used = _find_jitter(ok0, lax.stop_gradient(A), jitter0, maxtries)
@@ -116,7 +118,7 @@ def jitchol(A: jax.Array, maxtries: int | None = None):
     return lax.cond(
         ok0,
         lambda: L0,
-        lambda: jnp.linalg.cholesky(A + mult * diag_mean * jnp.eye(n, dtype=A.dtype)),
+        lambda: cholesky_auto(A + mult * diag_mean * jnp.eye(n, dtype=A.dtype)),
     )
 
 
@@ -125,7 +127,7 @@ def chol_jitter_used(A: jax.Array, maxtries: int | None = None):
     if maxtries is None:
         maxtries = config.max_jitter_tries
     diag_mean = jnp.abs(jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1)))
-    L0 = jnp.linalg.cholesky(A)
+    L0 = cholesky_auto(A)
     ok0 = _chol_ok(lax.stop_gradient(L0))
     jitter0 = lax.stop_gradient(diag_mean) * jnp.asarray(config.jitter, dtype=A.dtype)
     jit_used = _find_jitter(ok0, lax.stop_gradient(A), jitter0, maxtries)
@@ -133,18 +135,23 @@ def chol_jitter_used(A: jax.Array, maxtries: int | None = None):
     L = lax.cond(
         ok0,
         lambda: L0,
-        lambda: jnp.linalg.cholesky(A + jit_used * jnp.eye(n, dtype=A.dtype)),
+        lambda: cholesky_auto(A + jit_used * jnp.eye(n, dtype=A.dtype)),
     )
     return L, jit_used
 
 
 def dtrtrs(L: jax.Array, B: jax.Array, lower: bool = True, trans: bool = False):
-    """Solve triangular L x = B (GPy: util/linalg.py:95)."""
+    """Solve triangular L x = B (GPy: util/linalg.py:95). Large lower-tri
+    systems with wide RHS take the recursive matmul path."""
+    if lower:
+        return solve_lower_auto(L, B, trans=trans)
     return jax.scipy.linalg.solve_triangular(L, B, lower=lower, trans=1 if trans else 0)
 
 
 def dpotrs(L: jax.Array, B: jax.Array):
     """Solve A x = B given chol factor L (GPy: util/linalg.py:116)."""
+    if L.ndim == 2 and B.ndim == 2 and L.shape[0] > 4096 and B.shape[-1] >= 512:
+        return solve_lower_auto(L, solve_lower_auto(L, B), trans=True)
     return jax.scipy.linalg.cho_solve((L, True), B)
 
 
@@ -155,7 +162,7 @@ def dpotri(L: jax.Array):
     """A^{-1} from chol factor L (GPy: util/linalg.py:127)."""
     n = L.shape[-1]
     eye = jnp.eye(n, dtype=L.dtype)
-    Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Li = solve_lower_auto(L, eye)
     return Li.T @ Li
 
 
@@ -166,7 +173,7 @@ def pdinv(A: jax.Array):
     """
     L = jitchol(A)
     n = A.shape[-1]
-    Li = jax.scipy.linalg.solve_triangular(L, jnp.eye(n, dtype=A.dtype), lower=True)
+    Li = solve_lower_auto(L, jnp.eye(n, dtype=A.dtype))
     Ai = Li.T @ Li
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     return Ai, L, Li, logdet
