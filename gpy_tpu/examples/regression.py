@@ -23,7 +23,7 @@ def olympic_marathon_men(optimize=True, plot=False):
 
 
 def toy_rbf_1d(optimize=True, plot=False, n=100):
-    data = datasets.toy_rbf_1d(n=n)
+    data = datasets.toy_rbf_1d(num_samples=n)
     m = GPRegression(data["X"], data["Y"])
     if optimize:
         m.optimize()
