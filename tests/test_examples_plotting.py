@@ -65,3 +65,78 @@ def test_plot_surfaces():
     assert ax4 is not None
     ax5 = m.plot_ARD()
     assert ax5 is not None
+
+
+def test_plotting_backend_registry():
+    import gpy_tpu.plotting as gp
+    assert gp.plotting_library() is not None
+    with pytest.raises(ValueError):
+        gp.change_plotting_library("nope")
+    gp.change_plotting_library("none")
+    with pytest.raises(RuntimeError):
+        gp.plotting_library()
+    gp.change_plotting_library("matplotlib")
+    # plotly backend is gated: selecting it works or raises ImportError at draw
+    try:
+        gp.change_plotting_library("plotly")
+        gp.plotting_library()
+    except ImportError:
+        pass
+    finally:
+        gp.change_plotting_library("matplotlib")
+
+
+def test_extended_plot_surfaces():
+    import gpy_tpu.plotting  # noqa: F401
+    from gpy_tpu.models import GPRegression, SparseGPRegression
+    from gpy_tpu.models.gplvm import GPLVM
+
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 5, 25).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rng.standard_normal((25, 1))
+    m = GPRegression(X, Y)
+    assert m.plot_mean() is not None
+    assert m.plot_confidence() is not None
+    assert m.plot_density() is not None
+    assert m.plot_samples(samples=2) is not None
+    assert m.plot_data_error() is not None
+    assert m.plot_errorbars_trainset() is not None
+    sm = SparseGPRegression(X, Y, num_inducing=5)
+    ax = sm.plot()  # includes inducing markers
+    assert ax is not None
+    lv = GPLVM(rng.standard_normal((15, 4)), 2)
+    assert lv.plot_latent_scatter(labels=rng.integers(0, 2, 15)) is not None
+    assert lv.plot_magnification() is not None
+
+
+def test_tango_palette_cycles():
+    from gpy_tpu.plotting import tango
+    tango.reset()
+    seen = {tango.nextMedium() for _ in range(8)}
+    assert len(seen) == 8
+    assert all(c.startswith("#") for c in seen)
+
+
+def test_visualize_viewers():
+    import matplotlib.pyplot as plt
+    from gpy_tpu.plotting import visualize
+    from gpy_tpu.models.gplvm import GPLVM
+
+    rng = np.random.default_rng(0)
+    v = visualize.vector_show(rng.standard_normal(10))
+    v.modify(rng.standard_normal(10))
+    im = visualize.image_show(rng.standard_normal(256), dimensions=(16, 16))
+    im.modify(rng.standard_normal(256))
+    # stick viewer from xyz triples + connections
+    xyz = rng.standard_normal((5, 3))
+    conn = np.zeros((5, 5), dtype=bool); conn[0, 1] = conn[1, 2] = True
+    st = visualize.stick_show(xyz.flatten(order="F")[None], connect=conn)
+    st.modify(rng.standard_normal(15)[None])
+    # lvm viewer decodes a moved latent point through the model
+    Yh = rng.standard_normal((15, 10))
+    lv = GPLVM(Yh, 2)
+    dv = visualize.vector_show(Yh[0])
+    viewer = visualize.lvm(np.zeros((1, 2)), lv, dv)
+    viewer.modify(np.asarray([[0.5, -0.3]]))
+    viewer.close()
+    plt.close("all")
