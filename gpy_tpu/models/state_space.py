@@ -110,7 +110,12 @@ class StateSpace(Model):
     state_space_main_tests.py compares Kalman vs dense results).
     """
 
-    def __init__(self, X, Y, kernel=None, noise_var=1.0, parallel=False, name="StateSpace"):
+    def __init__(self, X, Y, kernel=None, noise_var=1.0, parallel=False,
+                 engine="scan", name="StateSpace"):
+        """engine: 'scan' (lax.scan, differentiable, default) or 'cpp'
+        (native sequential filter for host/CPU evaluation — the
+        state_space_cython equivalent; log_likelihood/predict only,
+        optimize always uses the differentiable scan path)."""
         super().__init__(name=name)
         dt = default_dtype()
         X = np.asarray(X, dtype=float).reshape(-1)
@@ -122,6 +127,7 @@ class StateSpace(Model):
         self.num_data = X.shape[0]
         self.kern = kernel or Matern32(1)
         self.parallel = bool(parallel)  # associative-scan (log-depth) filter
+        self.engine = engine
         self._add_param("noise_var", noise_var, transform=Logexp())
 
     # --- core filter --------------------------------------------------------
@@ -308,11 +314,38 @@ class StateSpace(Model):
         Ps_s = jnp.concatenate([Ps_s[::-1], Ps[-1][None]], 0)
         return ms_s, Ps_s
 
+    def _filter_cpp(self, times, ys, obs_mask=None):
+        """Native sequential filter (gpy_tpu/native/kalman.cpp). Same
+        return signature as `_filter` but with numpy outputs — value
+        evaluation only (no autodiff through ctypes)."""
+        from .. import native
+
+        H, P0, A, Q, sigma2 = self._ssm(times)
+        n = np.asarray(ys).shape[0]
+        mask = np.ones(n, dtype=bool) if obs_mask is None else np.asarray(obs_mask)
+        logL, ms, Ps, mpreds, Ppreds = native.kalman_filter_cpp(
+            np.asarray(A), np.asarray(Q), np.asarray(H), np.asarray(ys),
+            mask, np.asarray(P0), float(np.asarray(sigma2)))
+        return logL, ms, Ps, mpreds, Ppreds, np.asarray(A), np.asarray(H)
+
+    def _pick_filter(self):
+        if self.engine == "cpp":
+            return self._filter_cpp
+        return self._filter_parallel if self.parallel else self._filter
+
     # --- Model interface ----------------------------------------------------
     def log_likelihood(self):
-        filt = self._filter_parallel if self.parallel else self._filter
-        logL, *_ = filt(self.X, self.Y[:, 0])
+        logL, *_ = self._pick_filter()(self.X, self.Y[:, 0])
         return logL
+
+    def _flat_objective(self, flat):
+        # autodiff cannot flow through the native engine; the traced
+        # objective (optimize/checkgrad) always uses the scan filter
+        if self.engine == "cpp":
+            m = self.with_flat_raw(flat)
+            m.__dict__["engine"] = "scan"
+            return m.objective_function()
+        return super()._flat_objective(flat)
 
     def predict(self, Xnew, include_likelihood=True):
         """Filter+smooth over merged train/test times; test rows unobserved.
@@ -333,9 +366,13 @@ class StateSpace(Model):
             np.concatenate([np.ones_like(Xtr, dtype=bool), np.zeros_like(Xnew, dtype=bool)])[order]
         )
         # guard against zero dt (duplicate times): add tiny epsilon spacing
-        filt = self._filter_parallel if self.parallel else self._filter
-        _, ms, Ps, mpreds, Ppreds, A, H = filt(times, ys, mask)
-        ms_s, Ps_s = self._smooth(ms, Ps, mpreds, Ppreds, A)
+        _, ms, Ps, mpreds, Ppreds, A, H = self._pick_filter()(times, ys, mask)
+        if self.engine == "cpp":
+            from .. import native
+
+            ms_s, Ps_s = native.rts_smoother_cpp(ms, Ps, mpreds, Ppreds, A)
+        else:
+            ms_s, Ps_s = self._smooth(ms, Ps, mpreds, Ppreds, A)
         mu_all = jnp.einsum("ij,njk->ni", H, ms_s)  # (n,1)
         var_all = jnp.einsum("ij,njk,lk->nil", H, Ps_s, H)[:, 0, 0]
         mu = np.asarray(mu_all)[inv][len(Xtr):]

@@ -171,3 +171,30 @@ def test_kalman_nonstationary_checkgrad():
     ss = StateSpace(X, Y, kernel=gk.Linear(1, variances=0.5) + gk.Brownian(1, variance=0.8),
                     noise_var=0.2)
     assert ss.checkgrad()
+
+
+# --- native (C++) sequential filter engine ----------------------------------
+
+def test_cpp_engine_matches_scan():
+    """gpy_tpu/native/kalman.cpp == lax.scan filter (the reference's
+    state_space_cython.pyx equivalent). Skipped when g++ is unavailable."""
+    from gpy_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    X, Y = _toy_pos(60)
+    kf = lambda: gk.Matern52(1, 1.1, 0.8) + gk.Linear(1, variances=0.05)
+    m_scan = StateSpace(X, Y, kernel=kf(), noise_var=0.2)
+    m_cpp = StateSpace(X, Y, kernel=kf(), noise_var=0.2, engine="cpp")
+    assert float(m_cpp.log_likelihood()) == pytest.approx(
+        float(m_scan.log_likelihood()), rel=1e-10)
+    Xs = np.linspace(0.0, 6.0, 9).reshape(-1, 1)
+    mu1, v1 = m_scan.predict(Xs)
+    mu2, v2 = m_cpp.predict(Xs)
+    # 1e-5: the smoother gain inverts a near-singular P_pred for the
+    # Qc=0 Linear block; both engines jitter it by 1e-12 but the
+    # elimination orders differ
+    np.testing.assert_allclose(mu1, mu2, atol=2e-5)
+    np.testing.assert_allclose(v1, v2, atol=2e-5)
+    # optimize on a cpp-engine model transparently uses the scan objective
+    m_cpp.optimize(max_iters=5)
+    assert np.isfinite(float(m_cpp.objective_function()))
