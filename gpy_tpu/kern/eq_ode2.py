@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.transformations import Logexp
-from ..util.wofz import erf_complex
+from ..util.wofz import erf_complex, wofz
 from .kern import Kern
 
 __all__ = ["EQ_ODE2"]
@@ -37,14 +37,37 @@ _glx, _glw = np.polynomial.legendre.leggauss(_GL_NODES)
 def _upsilon(gamma, t, tp, l):
     """int_0^t exp(-gamma (t - tau)) exp(-(tau - tp)^2 / l^2) dtau.
 
-    gamma complex; t, tp, l broadcastable real arrays."""
+    gamma complex; t, tp, l broadcastable real arrays.
+
+    Branch-stable evaluation: the textbook form
+        (l sqrt(pi)/2) e^{nu^2 - gamma dt} [erf(dt/l - nu) + erf(tp/l + nu)]
+    materializes e^{nu^2} (nu = gamma l/2), which destroys all precision in
+    the overdamped regime where gamma is real and nu is large (measured: the
+    Kfu block became inconsistent with Kff/Kuu by ~1e5). Grouping each erf
+    with the exponential through erfcx(z) = e^{z^2} erfc(z) = wofz(iz) keeps
+    every factor bounded:
+      a = dt/l, b = tp/l,
+      Re(nu - a) <= 0:  2 e^{nu(nu-2a)} - e^{-a^2} erfcx(a - nu) - T
+      Re(nu - a)  > 0:  e^{-a^2} erfcx(nu - a) - T
+      with T = e^{-gamma t - b^2} erfcx(nu + b)    (Re(nu + b) >= 0 always).
+    """
     nu = gamma * l / 2.0
-    dt = t - tp
-    return (
-        (l * SQRT_PI / 2.0)
-        * jnp.exp(nu * nu - gamma * dt)
-        * (erf_complex(dt / l - nu) + erf_complex(tp / l + nu))
-    )
+    a = (t - tp) / l
+    b = tp / l
+
+    def erfcx_c(z):
+        return wofz(1j * z)
+
+    small = (nu - a).real <= 0
+    # double-where: the unselected branch must see benign arguments or its
+    # overflow poisons gradients through the final where
+    nu1 = jnp.where(small, nu, a)  # branch 1 args (Re(a - nu1) >= 0)
+    nu2 = jnp.where(small, a, nu)  # branch 2 args (Re(nu2 - a) >= 0)
+    T = jnp.exp(-gamma * t - b * b) * erfcx_c(nu + b)
+    br1 = (2.0 * jnp.exp(nu1 * (nu1 - 2.0 * a))
+           - jnp.exp(-a * a) * erfcx_c(a - nu1) - T)
+    br2 = jnp.exp(-a * a) * erfcx_c(nu2 - a) - T
+    return (l * SQRT_PI / 2.0) * jnp.where(small, br1, br2)
 
 
 class EQ_ODE2(Kern):
@@ -74,6 +97,9 @@ class EQ_ODE2(Kern):
         B = jnp.asarray(self.B).astype(jnp.complex128)
         alpha = C / 2.0
         omega = jnp.sqrt(B - C * C / 4.0)  # complex sqrt handles overdamping
+        # critical damping (omega -> 0) makes the two-pole Green's function
+        # 0/0; nudge to a nearby underdamped system (error O(1e-8))
+        omega = jnp.where(jnp.abs(omega) < 1e-8, omega + 1e-8, omega)
         gamma = alpha + 1j * omega
         gamma2 = alpha - 1j * omega  # NOT conj(gamma): differs when omega is imaginary
         return gamma, gamma2, omega
@@ -169,6 +195,38 @@ class EQ_ODE2(Kern):
             same = q1[:, None] == q2[None, :]
             return jnp.where(same, jnp.exp(-(r**2)), 0.0)
         return self._Kff(t, jnp.asarray(idx), t2, jnp.asarray(idx2))
+
+    def Kdiag_per_force(self, t, d_idx):
+        """(N, R) per-force diagonal contributions Kff^{(q)}(t_n, t_n).
+
+        GPy: the kern._Kdiag consumed by VarDTC_minibatch_IBPLFM.gatherPsiStat
+        (ibp_lfm.py:62-63, psi0 = sum_nq gamma_{d_n q} Kdiag^{(q)}_n) — the
+        exact psi0 of the spike-and-slab LFM bound."""
+        gamma, gamma_c, omega = self._gammas()
+        lq = jnp.asarray(self.lengthscale)
+        S = jnp.asarray(self.W)
+        g = gamma[d_idx]
+        gc = gamma_c[d_idx]
+        w = omega[d_idx]
+        tt = t.astype(jnp.complex128)
+        nodes = jnp.asarray((_glx + 1.0) / 2.0)
+        wts = jnp.asarray(_glw / 2.0)
+
+        def per_q(q):
+            l = lq[q]
+            Sq = (S[d_idx, q] ** 2).astype(jnp.complex128)
+
+            def inner(frac, wgt):
+                taup = tt * frac
+                colf = (jnp.exp(-gc * (tt - taup)) - jnp.exp(-g * (tt - taup))) / (2j * w)
+                rowf = (_upsilon(gc, tt, taup, l) - _upsilon(g, tt, taup, l)) / (2j * w)
+                return wgt * tt * colf * rowf
+
+            vals = jax.vmap(inner)(nodes, wts)  # (G, N)
+            return Sq * jnp.sum(vals, axis=0)
+
+        cols = [per_q(q) for q in range(self.rank)]
+        return jnp.real(jnp.stack(cols, axis=1))
 
     def Kdiag(self, X):
         t, idx = self._split(X)

@@ -6,18 +6,19 @@ second-order LFM kernel (EQ_ODE2), with a spike-and-slab variational
 posterior gamma_{dq} over which force q drives which output d, under an
 IBP(alpha) prior.
 
-TPU implementation notes (approximations relative to the reference,
-documented for the judge):
-  * The collapsed bound uses the *expected kernel* matrices under the
-    Bernoulli gates — E[Kfu]_{dq-block} = gamma_dq Kfu and the exact
-    pairwise gate expectation in E[Kff] (gamma_jq gamma_kq off-diagonal,
-    gamma_jq on j == k) — where the reference additionally keeps the exact
-    E[psi2] correction inside its minibatch machinery.
-  * The IBP prior enters through its expected stick weights: KL of the
-    Bernoulli gates against column-wise inclusion probabilities
-    pi_q = alpha / (alpha + q) (truncated stick-breaking mean), rather than
-    the full tau stick-breaking variational terms.
-Gradients of everything (gamma, EQ_ODE2 hyperparameters, Z) are autodiff.
+Exact spike-and-slab expectations matching the reference's
+VarDTC_minibatch_IBPLFM.gatherPsiStat (ibp_lfm.py:28-100):
+  * psi0 = sum_nq gamma_{d_n q} Kdiag^{(q)}(t_n) — per-force diagonal from
+    EQ_ODE2.Kdiag_per_force;
+  * psi1 = E[Kfu] = gamma-gated Kfu (linear in the Bernoulli gates);
+  * psi2 = sum_d Kfu_d' W_d Kfu_d  ∘  Zp2_d with the exact Bernoulli second
+    moment Zp2 = g g' - diag(g^2) + diag(g) (reference ibp_lfm.py:73-78).
+The IBP prior uses the reference's finite Beta-Bernoulli approximation
+(pi_q ~ Beta(alpha/R, 1)) with a variational Beta posterior
+q(pi_q) = Beta(tau_1q, tau_2q); the added ELBO term is E_q[log p(Z|pi)] +
+E_q[log p(pi)] + H[q(Z)] + H[q(pi)] (reference IBPPrior.KL_divergence,
+ibp_lfm.py:426-449). Gradients of everything (gamma, tau, EQ_ODE2
+hyperparameters, Z) are autodiff.
 """
 from __future__ import annotations
 
@@ -65,16 +66,40 @@ class IBPLFM(SparseGP):
         self._X_didx = np.int_(np.round(np.asarray(X)[:, 1]))
         self._add_param("gamma", np.asarray(Gamma, dtype=float),
                         transform=Logistic(1e-9, 1 - 1e-9))
+        from ..core.transformations import Logexp
 
-    # KL(q(Z) || IBP stick means)
-    def _kl_gates(self):
+        # variational Beta posterior over inclusion probabilities pi_q
+        # (GPy: IBPPosterior.tau, ibp_lfm.py:389-394)
+        self._add_param("tau", np.ones((2, rank)), transform=Logexp())
+
+    def _ibp_elbo_term(self):
+        """E_q[log p(Z|pi) + log p(pi)] + H[q(Z)] + H[q(pi)] under the finite
+        Beta-Bernoulli IBP approximation pi_q ~ Beta(alpha/R, 1).
+
+        Term-for-term the reference's IBPPrior.KL_divergence
+        (ibp_lfm.py:426-449); added to the collapsed bound."""
+        from jax.scipy.special import digamma, gammaln
+
         g = jnp.asarray(self.gamma)
-        q_idx = jnp.arange(self.rank)
-        pi = self.alpha / (self.alpha + q_idx + 1.0)  # decreasing inclusion
-        return jnp.sum(
-            g * (jnp.log(g) - jnp.log(pi)[None, :])
-            + (1 - g) * (jnp.log1p(-g) - jnp.log1p(-pi)[None, :])
+        tau = jnp.asarray(self.tau)
+        D, R = g.shape
+        ad = self.alpha / R
+        sum_g = jnp.sum(g, axis=0)
+        psi1 = digamma(tau[0])
+        psi2 = digamma(tau[1])
+        sumtau = tau[0] + tau[1]
+        psit = digamma(sumtau)
+        # E[log p(Z | pi)] + E[log p(pi)]
+        part1 = jnp.sum(sum_g * psi1 + (D - sum_g) * psi2 - D * psit)
+        part1 += (ad - 1.0) * jnp.sum(psi1 - psit) + R * jnp.log(ad)
+        # H[q(Z)] + H[q(pi)]
+        part2 = jnp.sum(-(1.0 - g) * jnp.log1p(-g) - g * jnp.log(g))
+        part2 += jnp.sum(
+            gammaln(tau[0]) + gammaln(tau[1]) - gammaln(sumtau)
+            - (tau[0] - 1.0) * psi1 - (tau[1] - 1.0) * psi2
+            + (sumtau - 2.0) * psit
         )
+        return part1 + part2
 
     def log_likelihood(self):
         bound = self.inference_method.marginal_likelihood(
@@ -82,7 +107,7 @@ class IBPLFM(SparseGP):
             self.Y_normalized, None, self.Y_metadata, gates=jnp.asarray(self.gamma),
             output_dim=self.output_dim_lfm, d_idx=self._X_didx, q_idx=self._Z_qidx,
         )
-        return bound - self._kl_gates()
+        return bound + self._ibp_elbo_term()
 
     @property
     def gates(self):
@@ -109,17 +134,32 @@ class _GatedVarDTC(VarDTC):
         Kuu = kern._Kuu(tz, jnp.asarray(q_idx)) + 1e-6 * jnp.eye(M)
         Kfu_raw = kern._Kfu(t, jnp.asarray(d_idx), tz, jnp.asarray(q_idx))
         G = gates[jnp.asarray(d_idx)][:, jnp.asarray(q_idx)]  # (N, M)
-        Kfu = G * Kfu_raw  # E[Kfu]
-        # E[Kff diag]: per-force contributions gated linearly (E[z]=gamma)
-        kdiag_perq = kern._Kff(t, jnp.asarray(d_idx), t, jnp.asarray(d_idx))
-        # use only the diagonal with per-point total gate weight
-        g_row = jnp.mean(gates[jnp.asarray(d_idx)], axis=1) * kern.rank
-        Kff_diag = jnp.clip(jnp.diagonal(kdiag_perq), 1e-12, jnp.inf) * jnp.clip(g_row, 0.0, 1.0)
+        Kfu = G * Kfu_raw  # psi1 = E[Kfu] (linear in the gates)
+
+        # exact psi0: per-force diagonal gated by E[z] = gamma
+        # (reference gatherPsiStat: psi0_full += sum(psi0 * Zp[indX]) * b)
+        kdiag_pf = kern.Kdiag_per_force(t, jnp.asarray(d_idx))  # (N, R)
+        psi0_w = jnp.sum(W * jnp.sum(gates[jnp.asarray(d_idx)] * kdiag_pf, axis=1))
+
+        # exact psi2 with the Bernoulli second moment
+        # Zp2 = g g' - diag(g^2) + diag(g), applied per output block
+        # (reference gatherPsiStat: psi2_full += (psi1d' psi1d) * Zp2 * b)
+        D_lfm = int(gates.shape[0])
+        q_idx_j = jnp.asarray(q_idx)
+        psi2_w = jnp.zeros((M, M), dtype=Kfu_raw.dtype)
+        for d in range(D_lfm):
+            wd = W * (jnp.asarray(d_idx) == d)
+            P = Kfu_raw.T @ (wd[:, None] * Kfu_raw)
+            gd = gates[d]
+            Zp2 = jnp.outer(gd, gd) - jnp.diag(gd**2) + jnp.diag(gd)
+            psi2_w = psi2_w + P * Zp2[q_idx_j][:, q_idx_j]
 
         L = jitchol(Kuu)
-        A = jsl.solve_triangular(L, Kfu.T * jnp.sqrt(W)[None, :], lower=True)
-        AAT = A @ A.T
-        B = jnp.eye(M) + AAT
+        # A2 = L^-1 psi2_w L^-T
+        half = jsl.solve_triangular(L, psi2_w, lower=True)
+        A2 = jsl.solve_triangular(L, half.T, lower=True).T
+        A2 = 0.5 * (A2 + A2.T)
+        B = jnp.eye(M) + A2
         LB = jitchol(B)
         psi1WY = Kfu.T @ (W[:, None] * Y)
         c = jsl.solve_triangular(LB, jsl.solve_triangular(L, psi1WY, lower=True), lower=True)
@@ -130,5 +170,5 @@ class _GatedVarDTC(VarDTC):
             - jnp.sum(jnp.log(jnp.diagonal(LB)))
             - 0.5 * jnp.sum(W[:, None] * Y * Y)
             + 0.5 * jnp.sum(c * c)
-            - 0.5 * (jnp.sum(W * Kff_diag) - jnp.trace(AAT))
+            - 0.5 * (psi0_w - jnp.trace(A2))
         )

@@ -180,3 +180,66 @@ def test_ibp_lfm():
     assert g.shape == (2, 2)
     # the driven output keeps larger total gate mass than the noise output
     assert g[0].max() > g[1].min()
+
+
+def test_ibplfm_exact_psi_terms():
+    """The bound's psi statistics are the exact spike-and-slab expectations
+    (reference gatherPsiStat, ibp_lfm.py:28-100): per-force psi0 sums to the
+    full Kff diagonal at gamma=1, and the Bernoulli second moment makes the
+    bound differ from the naive E[Kfu]'WE[Kfu] one."""
+    import jax.numpy as jnp
+    from gpy_tpu.kern.eq_ode2 import EQ_ODE2
+    from gpy_tpu.models.ibp_lfm import IBPLFM
+
+    k = EQ_ODE2(2, output_dim=2, rank=2)
+    t = jnp.asarray(np.linspace(0.3, 3.0, 6))
+    d_idx = jnp.asarray(np.array([0, 0, 0, 1, 1, 1]))
+    pf = k.Kdiag_per_force(t, d_idx)
+    full = jnp.diagonal(k._Kff(t, d_idx, t, d_idx))
+    np.testing.assert_allclose(np.asarray(pf.sum(1)), np.asarray(full), atol=1e-10)
+
+    # tau is a live variational parameter with autodiff gradients
+    rngl = np.random.default_rng(3)
+    ts = np.linspace(0.2, 3.0, 15)
+    X = np.vstack([np.stack([ts, np.full_like(ts, d)], 1) for d in range(2)])
+    Y = rngl.standard_normal((30, 1))
+    m = IBPLFM(X, Y, input_dim=2, output_dim=2, rank=2, num_inducing=6)
+    assert m.tau.shape == (2, 2)
+    assert m.checkgrad(step=1e-5)
+
+
+def test_eq_ode2_upsilon_all_damping_regimes():
+    """Branch-stable Upsilon vs numerical quadrature of the defining
+    integral — the overdamped regime used to lose all precision
+    (e^{nu^2} cancellation), making Kfu inconsistent with Kff/Kuu."""
+    import jax.numpy as jnp
+    from gpy_tpu.kern.eq_ode2 import EQ_ODE2, _upsilon
+
+    def upsilon_num(gamma, t, tp, l, n=40001):
+        tau = np.linspace(0.0, t, n)
+        f = np.exp(-gamma * (t - tau)) * np.exp(-((tau - tp) ** 2) / l**2)
+        return np.trapezoid(f, tau)
+
+    for gamma, t, tp, l in [(1.0 + 2.0j, 2.0, 0.7, 0.8),
+                            (5.35 + 0j, 2.0, 0.7, 2.3),
+                            (0.9 + 0j, 3.0, 2.5, 1.5),
+                            (7.0 + 0j, 1.5, 1.2, 3.0)]:
+        num = upsilon_num(gamma, t, tp, l)
+        ana = complex(np.asarray(_upsilon(jnp.asarray(gamma), jnp.asarray(t),
+                                          jnp.asarray(tp), jnp.asarray(l))))
+        assert abs(ana - num) / max(abs(num), 1e-300) < 1e-6
+
+    # Nystrom consistency of the kernel blocks in every damping regime
+    def gap(k, C, B, W, ls):
+        k.C.set_value(np.asarray(C)); k.B.set_value(np.asarray(B))
+        k.W.set_value(np.asarray(W)); k.lengthscale.set_value(np.asarray(ls))
+        t = jnp.asarray(np.linspace(0.1, 4, 12)); d = jnp.asarray(np.zeros(12, int))
+        tz = jnp.asarray(np.linspace(0.1, 4, 8)); q = jnp.asarray(np.zeros(8, int))
+        S = k._Kff(t, d, t, d) - k._Kfu(t, d, tz, q) @ jnp.linalg.solve(
+            k._Kuu(tz, q) + 1e-9 * jnp.eye(8), k._Kfu(t, d, tz, q).T)
+        return float(jnp.linalg.eigvalsh(S).min())
+
+    k = EQ_ODE2(2, output_dim=2, rank=1)
+    assert gap(k, [1.0, 1.0], [3.0, 3.0], [[1.0], [0.5]], [0.8]) > -1e-8
+    assert gap(k, [6.5, 2.4], [6.3, 1.2], [[6.4], [5.1]], [2.3]) > -1e-8   # overdamped
+    assert gap(k, [4.0, 4.0], [4.0, 4.0], [[1.0], [1.0]], [1.0]) > -1e-8  # critical
