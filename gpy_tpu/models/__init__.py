@@ -60,3 +60,5 @@ __all__ = [
     "SSMRD",
     "IBPLFM",
 ]
+
+from .gradient_checker import GradientChecker, HessianChecker, SkewChecker  # noqa: E402,F401

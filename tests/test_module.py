@@ -115,3 +115,26 @@ def test_str_table():
     m = Root()
     s = str(m)
     assert "kern.variance" in s and "+ve" in s
+
+
+def test_gradient_checker_product_features():
+    """GradientChecker/HessianChecker/SkewChecker — product-feature FD
+    harnesses (GPy models/gradient_checker.py:24/120/293)."""
+    from gpy_tpu.models import GradientChecker, HessianChecker, SkewChecker
+
+    f = lambda x: np.sum(np.sin(x) * x**2)
+    df = lambda x: np.cos(x) * x**2 + 2 * x * np.sin(x)
+    assert GradientChecker(f, df, np.array([0.3, -1.2, 2.0])).checkgrad()
+    assert not GradientChecker(f, lambda x: np.cos(x) * x**2,
+                               np.array([0.3, -1.2])).checkgrad()
+    ddf = lambda x: np.diag(-np.sin(x) * x**2 + 4 * x * np.cos(x) + 2 * np.sin(x))
+    assert HessianChecker(f, df, ddf, np.array([0.4, 1.1])).checkgrad()
+    df3 = lambda x: 4 * x**3
+    ddf3 = lambda x: np.diag(12 * x**2)
+    def dddf3(x):
+        n = x.size
+        T = np.zeros((n, n, n))
+        for i in range(n):
+            T[i, i, i] = 24 * x[i]
+        return T
+    assert SkewChecker(df3, ddf3, dddf3, np.array([0.5, -0.8])).checkgrad()
