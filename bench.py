@@ -134,6 +134,35 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: N=50k exact GP via matrix-free CG/SLQ (the BASELINE.json
+    # headline; dense cholesky cannot fit the 10GB Gram on one chip) -------
+    try:
+        signal.alarm(240)
+        from gpy_tpu.inference.iterative import IterativeGaussianInference
+        from gpy_tpu.models import GPRegression
+
+        n_it = 50_000
+        Xi = rng.random((n_it, 4)).astype(np.float32) * 10.0
+        Yi = (np.sin(Xi[:, :1]) + 0.1 * rng.standard_normal((n_it, 1))).astype(np.float32)
+        mi = GPRegression(Xi, Yi, noise_var=0.1,
+                          inference_method=IterativeGaussianInference(
+                              max_cg=48, n_probes=8, block=2048))
+        ogi = mi._get_objgrad()
+        flat_i = np.asarray(mi.get_flat_raw())
+        v, g = ogi(jnp.asarray(flat_i))
+        float(v), np.asarray(g)  # compile + fetch
+        best_i = float("inf")
+        for i in range(1, 3):
+            t0 = time.perf_counter()
+            v, g = ogi(jnp.asarray(flat_i + 1e-3 * i))
+            float(v), np.asarray(g)
+            best_i = min(best_i, time.perf_counter() - t0)
+        extra["exact50k_cg_nlml_grad_ms"] = round(best_i * 1e3, 1)
+    except Exception as e:  # pragma: no cover
+        extra["exact50k_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     out = {
         "metric": "svgp_elbo_steps_per_s",
         "value": round(steps_per_s, 3),

@@ -26,3 +26,5 @@ __all__ = [
     "VarDTCMissingData",
     "EPDTC",
 ]
+
+from .iterative import IterativeGaussianInference  # noqa: E402,F401

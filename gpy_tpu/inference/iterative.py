@@ -1,0 +1,215 @@
+"""Matrix-free iterative exact-GP inference: CG solves + stochastic Lanczos
+quadrature, never materializing the N x N Gram matrix.
+
+Scaling role: dense exact inference (exact.py) is O(N^2) memory / O(N^3)
+compute — at N=50k the f32 Gram alone is 10GB, past a single chip's HBM.
+Here every K-product streams through row blocks (ops/gram_matvec.py), so
+memory is O(block * N) and per-CG-iteration cost is one fused
+distance+exp+matmul sweep on the MXU:
+
+  * log marginal: -0.5 (y' K^-1 y + logdet K + N log 2pi), with K^-1 y from
+    batched conjugate gradients and logdet from stochastic Lanczos
+    quadrature (SLQ) over Hutchinson probes — the Lanczos tridiagonal is
+    reconstructed from the CG step/conjugacy coefficients.
+  * gradients: d logdet/dtheta = tr(K^-1 dK) estimated with the same probes
+    (E[w' dK z] for w = K^-1 z), assembled as a differentiable surrogate of
+    blockwise quadratic forms so jax.grad gives the estimator exactly.
+
+The reference has no equivalent (GPy materializes K:
+exact_gaussian_inference.py:53); this follows the GPyTorch/BBMM recipe
+(Gardner et al. 2018) recast as jittable lax.scan CG over the blockwise
+matvec.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.gram_matvec import gram_matvec
+from .exact import LatentFunctionInference
+
+__all__ = ["IterativeGaussianInference", "IterativePosterior", "cg_batched"]
+
+LOG_2_PI = float(np.log(2 * np.pi))
+
+
+def cg_batched(mv, B, maxiter=64):
+    """Conjugate gradients on (K v = b) for every column of B (N, R).
+
+    Fixed `maxiter` iterations under lax.scan (jit-friendly, and the
+    coefficient history is what SLQ needs). Returns (X, alphas, betas,
+    r0norm2) with alphas/betas of shape (maxiter, R).
+    """
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    P0 = B
+    rs0 = jnp.sum(R0 * R0, axis=0)
+
+    def step(carry, _):
+        X, Rr, P, rs = carry
+        Ap = mv(P)
+        pAp = jnp.sum(P * Ap, axis=0)
+        alpha = jnp.where(rs > 1e-300, rs / jnp.where(pAp > 1e-300, pAp, 1.0), 0.0)
+        X = X + alpha[None, :] * P
+        Rr = Rr - alpha[None, :] * Ap
+        rs_new = jnp.sum(Rr * Rr, axis=0)
+        beta = jnp.where(rs > 1e-300, rs_new / rs, 0.0)
+        P = Rr + beta[None, :] * P
+        return (X, Rr, P, rs_new), (alpha, beta)
+
+    (X, _, _, _), (alphas, betas) = lax.scan(step, (X0, R0, P0, rs0), None, length=maxiter)
+    return X, alphas, betas, rs0
+
+
+def _slq_logdet(alphas, betas, z_norm2, n, n_probes):
+    """logdet(K) estimate from CG coefficients of the probe solves.
+
+    The Lanczos tridiagonal for column i is
+      T[0,0]   = 1/alpha_0
+      T[k,k]   = 1/alpha_k + beta_{k-1}/alpha_{k-1}
+      T[k-1,k] = sqrt(beta_{k-1})/alpha_{k-1}
+    and z' log(K) z ~= |z|^2 e1' log(T) e1 (Golub & Meurant quadrature).
+    """
+    k, R = alphas.shape
+    a = jnp.where(alphas > 1e-300, alphas, 1.0)  # converged columns: T padding
+    inv_a = 1.0 / a
+    diag = inv_a + jnp.concatenate(
+        [jnp.zeros((1, R), alphas.dtype), betas[:-1] * inv_a[:-1]], axis=0)
+    off = jnp.sqrt(jnp.clip(betas[:-1], 0.0, jnp.inf)) * inv_a[:-1]
+    # batch of tridiagonal matrices (R, k, k)
+    T = (jnp.zeros((R, k, k), alphas.dtype)
+         .at[:, jnp.arange(k), jnp.arange(k)].set(diag.T)
+         .at[:, jnp.arange(k - 1), jnp.arange(1, k)].set(off.T)
+         .at[:, jnp.arange(1, k), jnp.arange(k - 1)].set(off.T))
+    w, U = jnp.linalg.eigh(T)
+    w = jnp.clip(w, 1e-30, jnp.inf)
+    quad = jnp.sum((U[:, 0, :] ** 2) * jnp.log(w), axis=-1)  # e1' log(T) e1
+    return jnp.sum(z_norm2 * quad) / n_probes
+
+
+class IterativePosterior:
+    """Posterior container backed by CG solves (no cholesky anywhere)."""
+
+    def __init__(self, kern, X, noise, alpha, max_cg=64, block=2048):
+        self.kern = kern
+        self._X = X
+        self._noise = noise
+        self.woodbury_vector = alpha  # K^-1 (Y - m); same role as Posterior
+        self.max_cg = max_cg
+        self.block = block
+
+    def _raw_predict(self, kern, Xnew, pred_var, full_cov=False):
+        # the CG loop dominates; jit it once per (n*, full_cov) shape —
+        # eager dispatch of ~max_cg blockwise matvecs is tunnel-latency bound
+        key = (Xnew.shape[0], bool(full_cov), id(kern))
+        cache = getattr(self, "_predict_cache", None)
+        if cache is None or cache[0] != key:
+            def predict_fn(Xn, alpha):
+                Kx = kern.K(pred_var, Xn)  # (N, n*)
+                mu = Kx.T @ alpha
+
+                def mv(V):
+                    return gram_matvec(self.kern, self._X, V, noise=self._noise,
+                                       block=self.block)
+
+                sol, *_ = cg_batched(mv, Kx, maxiter=self.max_cg)
+                if full_cov:
+                    var = kern.K(Xn) - Kx.T @ sol
+                else:
+                    var = kern.Kdiag(Xn) - jnp.sum(Kx * sol, axis=0)
+                    var = jnp.clip(var, 1e-12, jnp.inf)[:, None]
+                return mu, var
+
+            self._predict_cache = (key, jax.jit(predict_fn))
+        return self._predict_cache[1](Xnew, self.woodbury_vector)
+
+
+class IterativeGaussianInference(LatentFunctionInference):
+    """Drop-in inference_method for GPRegression at large N.
+
+    max_cg: CG/Lanczos iterations (also the SLQ quadrature order).
+    n_probes: Hutchinson probes for logdet and its gradient.
+    block: row-block size of the streamed Gram matvec.
+    """
+
+    def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0):
+        self.max_cg = max_cg
+        self.n_probes = n_probes
+        self.block = block
+        self.seed = seed
+        self._jit_cache = {}
+
+    def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
+        # Eager calls (the GP.posterior property, eager log_likelihood) would
+        # dispatch ~max_cg blockwise matvecs one by one — latency-bound
+        # through the device tunnel. Route them through a cached jit taking
+        # the raw parameter dicts as arguments (structure-keyed, so optimize
+        # steps don't retrace). Traced calls (inside Model's jitted
+        # objective) run inline.
+        import jax.core as jcore
+
+        tracing = any(isinstance(v, jcore.Tracer)
+                      for v in (X, Y, *kern.get_raw_dict().values()))
+        if not tracing and mean_function is None:
+            key = (X.shape, Y.shape, type(kern).__name__,
+                   tuple(sorted(kern.get_raw_dict().keys())),
+                   type(likelihood).__name__)
+            if key not in self._jit_cache:
+                def run(kraw, lraw, Xc, Yc):
+                    k2 = kern.with_raw_dict(kraw)
+                    l2 = likelihood.with_raw_dict(lraw)
+                    return self._inference_core(k2, Xc, l2, Yc, Y_metadata)
+
+                self._jit_cache[key] = jax.jit(run)
+            alpha, log_marginal, noise = self._jit_cache[key](
+                kern.get_raw_dict(), likelihood.get_raw_dict(), X, Y)
+            posterior = IterativePosterior(kern, X, noise, alpha,
+                                           max_cg=self.max_cg, block=self.block)
+            return posterior, log_marginal
+        alpha, log_marginal, noise = self._inference_core(
+            kern, X, likelihood, Y, Y_metadata, mean_function)
+        posterior = IterativePosterior(kern, X, noise, alpha,
+                                       max_cg=self.max_cg, block=self.block)
+        return posterior, log_marginal
+
+    def _inference_core(self, kern, X, likelihood, Y, Y_metadata=None,
+                        mean_function=None):
+        N, D = Y.shape
+        m = mean_function.f(X) if mean_function is not None else 0.0
+        YY = Y - m
+        noise = likelihood.noise_diagonal(N, Y_metadata) + 1e-6
+
+        key = jax.random.PRNGKey(self.seed)
+        Z = jax.random.rademacher(key, (N, self.n_probes), dtype=X.dtype)
+
+        def mv_sg(V):
+            k_sg = kern.stop_gradient() if hasattr(kern, "stop_gradient") else kern
+            return gram_matvec(k_sg, lax.stop_gradient(X), V,
+                               noise=lax.stop_gradient(noise), block=self.block)
+
+        RHS = jnp.concatenate([lax.stop_gradient(YY), Z], axis=1)
+        sol, alphas, betas, _ = cg_batched(mv_sg, RHS, maxiter=self.max_cg)
+        sol = lax.stop_gradient(sol)
+        alpha = sol[:, :D]            # K^-1 y
+        Wp = sol[:, D:]               # K^-1 z_i
+        z_norm2 = jnp.sum(Z * Z, axis=0)
+        logdet = _slq_logdet(lax.stop_gradient(alphas[:, D:]),
+                             lax.stop_gradient(betas[:, D:]),
+                             z_norm2, N, self.n_probes)
+
+        # value (all solve outputs stop-gradded)
+        quad_y = jnp.sum(lax.stop_gradient(YY) * alpha)
+        value = -0.5 * (quad_y + D * logdet + D * N * LOG_2_PI)
+
+        # gradient surrogate: dL/dtheta = 0.5 alpha' dK alpha
+        #                                - 0.5 D/P sum_i w_i' dK z_i
+        # assembled as differentiable blockwise quadratic forms
+        KU = gram_matvec(kern, X, jnp.concatenate([alpha, Wp], axis=1),
+                         noise=noise, block=self.block)
+        q_alpha = jnp.sum(alpha * KU[:, :D])
+        q_probe = jnp.sum(Z * KU[:, D:])  # z_i' (K w_i) == w_i' dK z_i terms
+        surrogate = 0.5 * q_alpha - 0.5 * (D / self.n_probes) * q_probe
+        log_marginal = lax.stop_gradient(value - lax.stop_gradient(surrogate)) + surrogate
+        return alpha, log_marginal, noise

@@ -1,0 +1,60 @@
+"""Matrix-free Gram matvec: (K(X, X) + diag(noise)) @ V in row blocks.
+
+The kernel matrix is never materialized — each lax.map step builds one
+(block, N) tile of K, multiplies into V, and discards it: O(block * N)
+transient memory instead of O(N^2). This is the blockwise-pairwise tiling
+SURVEY.md §5 calls for (structurally the ring-attention tiling of the N x N
+Gram), and the engine under iterative exact-GP inference
+(gpy_tpu/inference/iterative.py) at N far beyond dense-Cholesky memory.
+
+The reference has no analogue: GPy materializes dense K
+(exact_gaussian_inference.py:53) and is memory-bound at ~N=20k.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["gram_matvec", "make_gram_matvec"]
+
+
+def _pad_rows(X, block):
+    n = X.shape[0]
+    n_pad = (-n) % block
+    if n_pad:
+        X = jnp.concatenate([X, jnp.zeros((n_pad, X.shape[1]), X.dtype)], 0)
+    return X, n + n_pad
+
+
+def gram_matvec(kern, X, V, noise=None, block=2048):
+    """(K + diag(noise)) @ V for any kernel with a .K(X, X2) method.
+
+    V: (N, R). Per-block work is rematerialized in reverse mode
+    (jax.checkpoint) so gradients also run in O(block * N) memory.
+    """
+    N = X.shape[0]
+    V2 = V if V.ndim == 2 else V[:, None]
+    Xp, n_tot = _pad_rows(X, block)
+    blocks = n_tot // block
+    Xb = Xp.reshape(blocks, block, X.shape[1])
+
+    @jax.checkpoint
+    def one_block(xb):
+        Kb = kern.K(xb, X)  # (block, N)
+        return Kb @ V2
+
+    out = lax.map(one_block, Xb)  # (blocks, block, R)
+    out = out.reshape(n_tot, -1)[:N]
+    if noise is not None:
+        out = out + noise[:, None] * V2
+    return out if V.ndim == 2 else out[:, 0]
+
+
+def make_gram_matvec(kern, X, noise, block=2048):
+    """Closure form used by the CG loop."""
+
+    def mv(V):
+        return gram_matvec(kern, X, V, noise=noise, block=block)
+
+    return mv

@@ -1,0 +1,86 @@
+"""Matrix-free iterative exact-GP inference (inference/iterative.py):
+CG + SLQ vs dense Cholesky inference.
+
+Oracles: predictions must match dense near-exactly (CG converges), the
+NLML value within SLQ probe noise, gradients within probe noise, and the
+blockwise matvec must equal the dense product exactly.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gpy_tpu.models import GPRegression
+from gpy_tpu.inference.iterative import (
+    IterativeGaussianInference, cg_batched, _slq_logdet)
+from gpy_tpu.ops.gram_matvec import gram_matvec
+import gpy_tpu.kern as gk
+
+rng = np.random.default_rng(0)
+
+
+def _problem(N=400, D=3):
+    X = rng.uniform(0, 10, (N, D))
+    Y = np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))
+    return X, Y
+
+
+def test_gram_matvec_matches_dense():
+    X, _ = _problem(300)
+    k = gk.Matern52(3, variance=0.8, lengthscale=1.2)
+    V = jnp.asarray(rng.standard_normal((300, 4)))
+    noise = jnp.full(300, 0.3)
+    dense = (k.K(jnp.asarray(X)) + jnp.diag(noise)) @ V
+    # block not dividing N exercises the padding path
+    stream = gram_matvec(k, jnp.asarray(X), V, noise=noise, block=128)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(dense), atol=1e-10)
+
+
+def test_cg_solves_and_slq_logdet():
+    X, _ = _problem(300)
+    k = gk.RBF(3, variance=1.1, lengthscale=1.5)
+    K = k.K(jnp.asarray(X)) + 0.1 * jnp.eye(300)
+    B = jnp.asarray(rng.standard_normal((300, 3)))
+    sol, _, _, _ = cg_batched(lambda V: K @ V, B, maxiter=120)
+    np.testing.assert_allclose(np.asarray(K @ sol), np.asarray(B), atol=1e-6)
+    # SLQ logdet within probe-noise tolerance of the dense value
+    P = 64
+    Z = jax.random.rademacher(jax.random.PRNGKey(0), (300, P), dtype=K.dtype)
+    _, a, b, _ = cg_batched(lambda V: K @ V, Z, maxiter=120)
+    est = float(_slq_logdet(a, b, jnp.sum(Z * Z, 0), 300, P))
+    truth = float(2 * jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(K)))))
+    assert est == pytest.approx(truth, rel=0.05)
+
+
+def test_iterative_matches_dense_inference():
+    X, Y = _problem(400)
+    kd = gk.RBF(3, variance=1.2, lengthscale=1.5)
+    ki = gk.RBF(3, variance=1.2, lengthscale=1.5)
+    m_d = GPRegression(X, Y, kernel=kd, noise_var=0.05)
+    m_i = GPRegression(X, Y, kernel=ki, noise_var=0.05,
+                       inference_method=IterativeGaussianInference(
+                           max_cg=80, n_probes=32, block=128, seed=0))
+    ld = float(m_d.log_likelihood())
+    li = float(m_i.log_likelihood())
+    assert li == pytest.approx(ld, rel=0.05)  # SLQ probe noise on logdet
+    gd = np.asarray(m_d._objective_and_grad(m_d.get_flat_raw())[1])
+    gi = np.asarray(m_i._objective_and_grad(m_i.get_flat_raw())[1])
+    assert np.abs(gd - gi).max() / np.abs(gd).max() < 0.1
+    Xs = rng.uniform(0, 10, (9, 3))
+    mu_d, v_d = m_d.predict(Xs)
+    mu_i, v_i = m_i.predict(Xs)
+    np.testing.assert_allclose(mu_i, mu_d, atol=1e-3)
+    np.testing.assert_allclose(v_i, v_d, atol=1e-3)
+
+
+def test_iterative_optimize_improves():
+    X, Y = _problem(300)
+    m = GPRegression(X, Y, noise_var=0.5,
+                     inference_method=IterativeGaussianInference(
+                         max_cg=60, n_probes=16, block=128, seed=0))
+    f0 = float(m.objective_function())
+    m.optimize(max_iters=25)
+    assert float(m.objective_function()) < f0
+    # posterior predictions after optimize track the data
+    mu, _ = m.predict(X[:40])
+    assert np.corrcoef(mu.ravel(), np.asarray(Y)[:40, 0])[0, 1] > 0.8
