@@ -156,3 +156,105 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2, axis_nam
     raw0 = model.get_raw_dict(free_only=True)
     state0 = opt.init(raw0)
     return step, (raw0, state0), partial(shard_rows, mesh)
+
+
+def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
+                        axis_name: str = "data"):
+    """(K(X,X) + diag(noise)) @ V with rows of K sharded over the mesh.
+
+    The within-matrix sharding of SURVEY.md §5: each device streams its row
+    slab of the Gram against the (replicated, small) full X — the same
+    blockwise-pairwise tiling as the single-device ops/gram_matvec.py, so no
+    device ever holds more than O(block * N). The output rows come back
+    sharded; collectives only move the (N, R) vectors, never K.
+
+    X must have rows divisible by the mesh size (see pad_rows_to_multiple).
+    """
+    n_dev = mesh.devices.size
+    N = X.shape[0]
+    assert N % n_dev == 0, f"N={N} not divisible by mesh size {n_dev}"
+    V2 = V if V.ndim == 2 else V[:, None]
+    noise_v = jnp.zeros(N, X.dtype) if noise is None else noise
+    # kernel parameters flow in as explicit replicated arguments: closure
+    # captures of traced values carry the caller's (Auto-mesh) sharding and
+    # clash with the Manual shard_map context (observed when optimizer
+    # outputs, sharded by a previous jitted step, are fed back in)
+    kraw = kern.get_raw_dict()
+
+    def local(mv_X_loc, X_full, V_full, noise_loc, V_loc, kraw_in):
+        k2 = kern.with_raw_dict(kraw_in)
+        out = gram_matvec_rows(k2, mv_X_loc, X_full, V_full, block)
+        return out + noise_loc[:, None] * V_loc
+
+    def gram_matvec_rows(k2, X_rows, X_full, V_full, block):
+        # row-slab streamed product (same remat structure as gram_matvec)
+        n_loc = X_rows.shape[0]
+        n_pad = (-n_loc) % block
+        Xp = jnp.concatenate([X_rows, jnp.zeros((n_pad, X_rows.shape[1]), X_rows.dtype)], 0) if n_pad else X_rows
+        Xb = Xp.reshape(-1, block, X_rows.shape[1])
+
+        @jax.checkpoint
+        def one(xb):
+            return k2.K(xb, X_full) @ V_full
+
+        out = jax.lax.map(one, Xb).reshape(-1, V_full.shape[1])
+        return out[:n_loc]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    out = fn(X, X, V2, noise_v, V2, kraw)
+    return out if V.ndim == 2 else out[:, 0]
+
+
+def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
+                                block=2048, seed=0, axis_name: str = "data"):
+    """NLML + gradient of an exact GP with the Gram rows sharded over the
+    mesh — multi-chip matrix-free exact inference (iterative.py recipe with
+    sharded_gram_matvec as the engine).
+
+    Returns (value, grad_flat) as a jitted callable of the model's flat raw
+    vector. Rows of X/Y must divide the mesh size.
+    """
+    from ..inference.iterative import cg_batched, _slq_logdet
+
+    X = jnp.asarray(model.X)
+    Y = jnp.asarray(model.Y_normalized)
+    N, D = Y.shape
+    LOG_2_PI = float(np.log(2 * np.pi))
+
+    def nlml(flat):
+        m = model.with_flat_raw(flat)
+        kern, lik = m.kern, m.likelihood
+        noise = lik.noise_diagonal(N, m.Y_metadata) + 1e-6
+        Z = jax.random.rademacher(jax.random.PRNGKey(seed), (N, n_probes), dtype=X.dtype)
+
+        k_sg = kern.stop_gradient()
+
+        def mv_sg(V):
+            return sharded_gram_matvec(mesh, k_sg, X, V,
+                                       noise=jax.lax.stop_gradient(noise),
+                                       block=block, axis_name=axis_name)
+
+        RHS = jnp.concatenate([Y, Z], axis=1)
+        sol, alphas, betas, _ = cg_batched(mv_sg, RHS, maxiter=max_cg)
+        sol = jax.lax.stop_gradient(sol)
+        alpha, Wp = sol[:, :D], sol[:, D:]
+        logdet = _slq_logdet(jax.lax.stop_gradient(alphas[:, D:]),
+                             jax.lax.stop_gradient(betas[:, D:]),
+                             jnp.sum(Z * Z, axis=0), N, n_probes)
+        quad_y = jnp.sum(Y * alpha)
+        value = -0.5 * (quad_y + D * logdet + D * N * LOG_2_PI)
+        KU = sharded_gram_matvec(mesh, kern, X,
+                                 jnp.concatenate([alpha, Wp], axis=1),
+                                 noise=noise, block=block, axis_name=axis_name)
+        surrogate = (0.5 * jnp.sum(alpha * KU[:, :D])
+                     - 0.5 * (D / n_probes) * jnp.sum(Z * KU[:, D:]))
+        L = jax.lax.stop_gradient(value - jax.lax.stop_gradient(surrogate)) + surrogate
+        return -(L + m.log_prior())
+
+    return jax.jit(jax.value_and_grad(nlml))

@@ -73,3 +73,44 @@ def test_sharded_train_step_runs_and_improves():
     # write back and check model consistent
     m.set_raw_dict({k: jnp.asarray(val) for k, val in raw.items()})
     assert np.isfinite(float(m.log_likelihood()))
+
+
+def test_sharded_gram_matvec_equals_dense():
+    """Within-matrix sharding: row-sharded streamed K@V == dense K@V
+    (the SURVEY §5 long-context analogue, tested on the 8-device CPU mesh)."""
+    from gpy_tpu.parallel import make_mesh, sharded_gram_matvec
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(0)
+    N = 64 * 8
+    X = jnp.asarray(rng.uniform(0, 5, (N, 3)))
+    V = jnp.asarray(rng.standard_normal((N, 4)))
+    noise = jnp.full(N, 0.2)
+    k = gk.RBF(3, variance=0.9, lengthscale=1.1)
+    mesh = make_mesh(8)
+    out = sharded_gram_matvec(mesh, k, X, V, noise=noise, block=64)
+    dense = (k.K(X) + jnp.diag(noise)) @ V
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=1e-9)
+
+
+def test_sharded_iterative_nlml_matches_single_device():
+    """Multi-chip matrix-free exact GP: the 8-way sharded NLML+grad equals
+    the single-device iterative values exactly (same probes, same CG)."""
+    from gpy_tpu.parallel import make_mesh, sharded_iterative_nlml_grad
+    from gpy_tpu.inference.iterative import IterativeGaussianInference
+    from gpy_tpu.models import GPRegression
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(1)
+    N = 40 * 8
+    X = rng.uniform(0, 8, (N, 2))
+    Y = np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))
+    m = GPRegression(X, Y, kernel=gk.RBF(2, 1.1, 1.4), noise_var=0.1,
+                     inference_method=IterativeGaussianInference(
+                         max_cg=60, n_probes=8, block=64, seed=0))
+    v1, g1 = m._objective_and_grad(m.get_flat_raw())
+    mesh = make_mesh(8)
+    fn = sharded_iterative_nlml_grad(mesh, m, max_cg=60, n_probes=8, block=64, seed=0)
+    v2, g2 = fn(m.get_flat_raw())
+    assert float(v2) == pytest.approx(float(v1), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4)
