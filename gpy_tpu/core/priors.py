@@ -6,9 +6,9 @@ HalfT:1260, Exponential:1340, StudentT:1388). In GPy each prior also carries
 hand-written `lnpdf_grad`; here only `lnpdf` is needed — autodiff supplies
 the gradient through the constraint bijector.
 
-The DGPLVM discriminative priors (priors.py:416-1258) are specialist research
-code operating on whole latent matrices; `MultivariateGaussian` below covers
-the mechanism (matrix-valued prior) — the KFDA variants are out of scope.
+The DGPLVM discriminative priors (priors.py:416-1258) are matrix-valued MAP
+terms over the GPLVM latent X; see the bottom of this file (scatter matrices
+as one-hot einsums, gradients by autodiff).
 """
 from __future__ import annotations
 
@@ -27,6 +27,10 @@ __all__ = [
     "Exponential",
     "StudentT",
     "HalfT",
+    "DGPLVM",
+    "DGPLVM_Lamda",
+    "DGPLVM_T",
+    "DGPLVM_KFDA",
 ]
 
 
@@ -188,3 +192,144 @@ class HalfT(Prior):
             - (self.nu + 1) / 2.0 * jnp.log1p((x / self.A) ** 2 / self.nu)
         )
         return jnp.where(x > 0, base, -jnp.inf)
+
+
+# --- Discriminative GPLVM priors over whole latent matrices -----------------
+# Reference: GPy/core/parameterization/priors.py DGPLVM_KFDA:416, DGPLVM:570,
+# DGPLVM_Lamda:786, DGPLVM_T:1033. These are matrix-valued MAP terms attached
+# to the latent X of a GPLVM: lnpdf(x) reshapes the (possibly flat) latent to
+# x_shape and returns a scalar. Gradients come from autodiff (the reference
+# hand-codes ~200 lines of lnpdf_grad per class); the scatter matrices are
+# one-hot einsums instead of per-point python loops, so the whole term jits.
+
+
+def _class_scatter(x, onehot):
+    """Between/within-class scatter (Sb, Sw) weighted as the reference does.
+
+    onehot: (N, C) one-hot labels. Sb = sum_c (N_c/N) (M_c-M0)(M_c-M0)^T,
+    Sw = (1/N) sum_k (x_k - M_{c(k)})(x_k - M_{c(k)})^T.
+    """
+    onehot = jnp.asarray(onehot, dtype=x.dtype)
+    N = x.shape[0]
+    n_c = jnp.sum(onehot, axis=0)  # (C,)
+    M = (onehot.T @ x) / n_c[:, None]  # class means (C, Q)
+    M0 = jnp.mean(x, axis=0)
+    dB = M - M0[None, :]
+    Sb = (dB * (n_c / N)[:, None]).T @ dB
+    xc = x - onehot @ M  # per-point deviation from its class mean
+    Sw = (xc.T @ xc) / N
+    return Sb, Sw
+
+
+class DGPLVM(Prior):
+    """Discriminative GPLVM prior (Urtasun & Darrell): lnpdf =
+    -(1/sigma2) tr((Sb + 0.1 I)^-1 Sw). Reference: priors.py:570-788."""
+
+    domain = "real"
+
+    def __init__(self, sigma2, lbl, x_shape):
+        self.sigma2 = float(sigma2)
+        self.lbl = np.asarray(lbl)
+        self.x_shape = tuple(x_shape)
+        self.ridge = 0.1
+
+    def _xprime(self, x):
+        return x
+
+    def lnpdf(self, x):
+        x = jnp.asarray(x).reshape(self.x_shape)
+        x = self._xprime(x)
+        Sb, Sw = _class_scatter(x, self.lbl)
+        Q = Sb.shape[0]
+        sol = jnp.linalg.solve(Sb + self.ridge * jnp.eye(Q, dtype=x.dtype), Sw)
+        return (-1.0 / self.sigma2) * jnp.trace(sol)
+
+    def rvs(self, n, rng=None):
+        rng = rng or np.random.default_rng()
+        return rng.random(n)
+
+    def __repr__(self):
+        return "DGPLVM_prior_Raq"
+
+
+class DGPLVM_Lamda(DGPLVM):
+    """DGPLVM with a per-dimension scaling x' = x diag(lamda) and ridge 0.9.
+    Reference: priors.py:786-1030. The reference trains `lamda` as a Param;
+    here it is a (differentiable) attribute — update it manually or link it
+    as a model parameter to optimize it."""
+
+    def __init__(self, sigma2, lbl, x_shape, lamda, name="DP_prior"):
+        super().__init__(sigma2, lbl, x_shape)
+        self.lamda = jnp.asarray(np.diag(np.atleast_2d(lamda))
+                                 if np.ndim(lamda) == 2 else lamda)
+        self.ridge = 0.9
+        self.name = name
+
+    def _xprime(self, x):
+        return x * self.lamda[None, :]
+
+    def __repr__(self):
+        return "DGPLVM_prior_Raq_Lamda"
+
+
+class DGPLVM_T(DGPLVM):
+    """DGPLVM on a fixed projection x' = x @ vec. Reference: priors.py:1033-1258."""
+
+    def __init__(self, sigma2, lbl, x_shape, vec):
+        super().__init__(sigma2, lbl, x_shape)
+        self.vec = jnp.asarray(vec)
+
+    def _xprime(self, x):
+        return x @ self.vec
+
+    def __repr__(self):
+        return "DGPLVM_prior_Raq_TTT"
+
+
+class DGPLVM_KFDA(Prior):
+    """Kernel Fisher discriminant DGPLVM prior (binary labels):
+    J* = (1/lambda) (a^T K a - a^T K A (lambda I + A K A)^-1 A K a),
+    lnpdf = -(1/sigma2) J*. Reference: priors.py:416-568.
+
+    The reference builds `a`/`A` positionally assuming rows sorted by class
+    (wrong for interleaved labels); here they are built per-index so the
+    prior is order-independent (identical when sorted).
+    """
+
+    domain = "real"
+
+    def __init__(self, lambdaa, sigma2, lbl, kern, x_shape):
+        lbl = np.asarray(lbl)
+        self.datanum, self.classnum = lbl.shape
+        if self.classnum < 2:
+            raise ValueError("DGPLVM_KFDA needs two label columns")
+        self.lambdaa = float(lambdaa)
+        self.sigma2 = float(sigma2)
+        self.lbl = lbl
+        self.kern = kern
+        self.x_shape = tuple(x_shape)
+        c0 = lbl[:, 0] == 1
+        c1 = lbl[:, 1] == 1
+        n0, n1 = float(c0.sum()), float(c1.sum())
+        self.a = jnp.asarray(np.where(c0, 1.0 / n0, np.where(c1, -1.0 / n1, 0.0))[:, None])
+        A = np.zeros((self.datanum, self.datanum))
+        for mask, n in ((c0, n0), (c1, n1)):
+            idx = np.where(mask)[0]
+            A[np.ix_(idx, idx)] = (np.eye(len(idx)) - 1.0 / n) / np.sqrt(n)
+        self.A = jnp.asarray(A)
+
+    def lnpdf(self, x):
+        x = jnp.asarray(x).reshape(self.x_shape)
+        K = self.kern.K(x)
+        AK = self.A @ K
+        AKa = AK @ self.a
+        P = self.lambdaa * jnp.eye(self.datanum, dtype=K.dtype) + AK @ self.A
+        J = self.a.T @ K @ self.a - AKa.T @ jnp.linalg.solve(P, AKa)
+        return jnp.squeeze((-1.0 / self.sigma2) * J / self.lambdaa)
+
+    def rvs(self, n, rng=None):
+        rng = rng or np.random.default_rng()
+        return rng.random(n)
+
+    def __repr__(self):
+        return "DGPLVM_prior"

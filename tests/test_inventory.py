@@ -61,6 +61,7 @@ GPY_INFERENCE = [
 GPY_PRIORS = [
     "Gaussian", "Uniform", "LogGaussian", "MultivariateGaussian", "Gamma",
     "InverseGamma", "Exponential", "StudentT", "HalfT",
+    "DGPLVM", "DGPLVM_Lamda", "DGPLVM_T", "DGPLVM_KFDA",
 ]
 
 
