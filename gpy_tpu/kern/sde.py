@@ -24,6 +24,7 @@ __all__ = [
     "bias_sde",
     "linear_sde",
     "brownian_sde",
+    "ratquad_sde",
     "attach_sde",
 ]
 
@@ -60,15 +61,19 @@ def rbf_sde(variance, lengthscale, K=_RBF_ORDER):
     v = jnp.asarray(variance)
     l = jnp.asarray(lengthscale).reshape(-1)[0]
     alpha = jnp.sqrt(2.0) / l
-    # a(s) monic with roots alpha*rho_j: c_m = u_m * alpha^(K-m)
+    # Balanced realization: the raw companion form has entries ~alpha^K
+    # (overflows expm for small lengthscales, e.g. RatQuad mixture tails).
+    # With z_i = x_i / alpha^i the dynamics become F = alpha * C where C is
+    # the CONSTANT companion matrix of the universal polynomial, L = e_{K-1},
+    # and the diffusion picks up alpha^{-2(K-1)}; H and Pinf[0,0] = v are
+    # unchanged. max|F| ~ alpha instead of alpha^K.
     u = jnp.asarray(_RBF_U)
-    m_idx = jnp.arange(K + 1)
-    c = u * alpha ** (K - m_idx)  # ascending coeffs, c_K = alpha^0 = 1
-    F = jnp.zeros((K, K)).at[:-1, 1:].set(jnp.eye(K - 1)).at[-1, :].set(-c[:K])
+    C = jnp.zeros((K, K)).at[:-1, 1:].set(jnp.eye(K - 1)).at[-1, :].set(-u[:K])
+    F = alpha * C
     L = jnp.zeros((K, 1)).at[-1, 0].set(1.0)
     H = jnp.zeros((1, K)).at[0, 0].set(1.0)
     q = v * l * jnp.sqrt(2 * jnp.pi) * float(math.factorial(K)) * (2.0 / l**2) ** K
-    Qc = q.reshape(1, 1)
+    Qc = (q / alpha ** (2 * (K - 1))).reshape(1, 1)
     # Pinf: solve F P + P F' + L q L' = 0  (Lyapunov, differentiable)
     eyeK = jnp.eye(K)
     A = jnp.kron(eyeK, F) + jnp.kron(F, eyeK)
@@ -173,15 +178,63 @@ def brownian_sde(variance, t0=0.0):
     return F, L, Qc, H, Pinf, P0
 
 
+def ratquad_sde(variance, lengthscale, power, n_nodes=12, scale=1.3,
+                rbf_order=_RBF_ORDER):
+    """(F, L, Qc, H, Pinf) for RatQuad as a Gamma scale mixture of RBF SDEs.
+
+    k(r) = v (1 + r^2/2)^-p is exactly E_{u~Gamma(p,1)}[v e^{-u r^2/2}], i.e.
+    an inverse-squared-lengthscale mixture of RBFs with lengthscale l/sqrt(u).
+    Substituting u = e^s makes the mixing weight e^{p s - e^s} log-concave
+    with mode ln p and curvature p; Gauss-Hermite nodes placed at
+    s_j = ln p + scale * h_j / sqrt(p) then sample the lengthscale mixture
+    evenly across DECADES, which is what the power-law tail needs (plain
+    Gauss-Laguerre puts no nodes at small u and loses the tail: rel. error
+    ~0.5 at tau = 4l vs ~2e-3 here at n_nodes=12). Node positions are
+    closed-form differentiable in the (trainable) power p. Each node becomes
+    an order-`rbf_order` balanced RBF SDE block, stacked block-diagonally.
+
+    The reference declares this unimplemented (GPy sde_stationary.py:236-241
+    `assert False, 'Not Implemented'`) — this is a capability beyond parity.
+    """
+    v = jnp.asarray(variance)
+    l = jnp.asarray(lengthscale).reshape(-1)[0]
+    p = jnp.asarray(power).reshape(-1)[0]
+    h, om = np.polynomial.hermite_e.hermegauss(n_nodes)  # weight e^{-h^2/2}
+    h, om = jnp.asarray(h), jnp.asarray(om)
+    s = jnp.log(p) + scale * h / jnp.sqrt(p)
+    u = jnp.exp(s)
+    # log-domain weights, max-shifted before exp: the raw magnitude is
+    # ~e^{p ln p - p} (e.g. e^393 at p=107), which normalizes fine in value
+    # but destroys the autodiff VJP's precision (measured: dNLML/dp wrong by
+    # 100x at p~100). The shift is a stop_gradient constant, so the
+    # normalized weights' derivative is unchanged.
+    lw = jnp.log(om) + p * s - u + h**2 / 2.0
+    w = jnp.exp(lw - jax.lax.stop_gradient(jnp.max(lw)))
+    w = w / jnp.sum(w)  # normalized: k(0) = v exactly
+    Fs, Ls, Qs, Ps, Hs = [], [], [], [], []
+    for j in range(n_nodes):
+        Fj, Lj, Qj, Hj, Pj = rbf_sde(v * w[j], l / jnp.sqrt(u[j]), K=rbf_order)
+        Fs.append(Fj), Ls.append(Lj), Qs.append(Qj), Ps.append(Pj), Hs.append(Hj)
+    F = jax.scipy.linalg.block_diag(*Fs)
+    L = jax.scipy.linalg.block_diag(*Ls)
+    Qc = jax.scipy.linalg.block_diag(*Qs)
+    Pinf = jax.scipy.linalg.block_diag(*Ps)
+    H = jnp.concatenate(Hs, axis=1)
+    return F, L, Qc, H, Pinf
+
+
 def attach_sde():
-    """Attach sde() methods to RBF / StdPeriodic / Bias / Linear / Brownian."""
-    from .stationary import RBF
+    """Attach sde() methods to RBF / StdPeriodic / Bias / Linear / Brownian /
+    RatQuad."""
+    from .stationary import RBF, RatQuad
     from .periodic import StdPeriodic
     from .static import Bias
     from .linear import Linear
     from .misc import Brownian
 
     RBF.sde = lambda self: rbf_sde(self.variance, self.lengthscale)
+    RatQuad.sde = lambda self: ratquad_sde(self.variance, self.lengthscale,
+                                           self.power)
     StdPeriodic.sde = lambda self: std_periodic_sde(
         self.variance, self.period, self.lengthscale
     )

@@ -25,7 +25,8 @@ from ..kern import RBF
 from ..likelihoods import Gaussian
 from ..util.initialization import initialize_latent
 
-__all__ = ["GPLVM", "SparseGPLVM", "BayesianGPLVM", "MRD"]
+__all__ = ["GPLVM", "SparseGPLVM", "BayesianGPLVM", "MRD", "BCGPLVM",
+           "DPBayesianGPLVM"]
 
 
 class GPLVM(GP):

@@ -198,3 +198,26 @@ def test_cpp_engine_matches_scan():
     # optimize on a cpp-engine model transparently uses the scan objective
     m_cpp.optimize(max_iters=5)
     assert np.isfinite(float(m_cpp.objective_function()))
+
+
+def test_ratquad_sde_approximates_dense():
+    """Gauss-Hermite log-space Gamma-mixture-of-RBFs RatQuad SDE — the
+    reference leaves sde_RatQuad unimplemented (sde_stationary.py:236-241)."""
+    X, Y = _toy(30)
+    k = gk.RatQuad(1, variance=1.1, lengthscale=0.9, power=1.6)
+    ss = StateSpace(X, Y, kernel=gk.RatQuad(1, variance=1.1, lengthscale=0.9,
+                                            power=1.6), noise_var=0.1)
+    dense = GPRegression(X, Y, kernel=k, noise_var=0.1)
+    l1, l2 = float(ss.log_likelihood()), float(dense.log_likelihood())
+    assert l1 == pytest.approx(l2, rel=2e-3, abs=0.5)
+    Xs = np.linspace(0.2, 4.8, 9).reshape(-1, 1)
+    mu1, v1 = ss.predict(Xs)
+    mu2, v2 = dense.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, atol=2e-2)
+    np.testing.assert_allclose(v1, v2, atol=2e-2)
+
+
+def test_ratquad_sde_checkgrad():
+    X, Y = _toy(16)
+    ss = StateSpace(X, Y, kernel=gk.RatQuad(1), noise_var=0.2)
+    assert ss.checkgrad(step=1e-5)
