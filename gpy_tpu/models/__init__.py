@@ -6,7 +6,7 @@ from .sparse_gp_classification import (
     SparseGPClassification,
     SparseGPClassificationUncertainInput,
 )
-from .gplvm import GPLVM, SparseGPLVM, BayesianGPLVM, MRD
+from .gplvm import GPLVM, SparseGPLVM, BayesianGPLVM, MRD, BCGPLVM, DPBayesianGPLVM
 from .warped_gp import WarpedGP, InputWarpedGP
 from .tp_regression import TPRegression
 from .gp_coregionalized_regression import (
@@ -36,6 +36,8 @@ __all__ = [
     "GPLVM",
     "SparseGPLVM",
     "BayesianGPLVM",
+    "BCGPLVM",
+    "DPBayesianGPLVM",
     "MRD",
     "WarpedGP",
     "InputWarpedGP",

@@ -69,6 +69,62 @@ class GPLVM(GP):
         return post
 
 
+class BCGPLVM(GP):
+    """Back-constrained GPLVM: X = mapping.f(Y), so the latent coordinates
+    are a smooth parametric function of the data and the mapping's weights
+    are optimized instead of free X. Reference: GPy/models/bcgplvm.py:11
+    (parameters_changed pushes dL_dK -> gradients_X -> mapping grads by
+    hand; here X(Y) sits inside the traced NLML and autodiff does it).
+    """
+
+    def __init__(self, Y, input_dim, kernel=None, mapping=None, name="bcgplvm"):
+        from ..mappings import MLP as MLPMapping
+
+        Y = np.asarray(Y, dtype=float)
+        if mapping is None:
+            mapping = MLPMapping(input_dim=Y.shape[1], output_dim=input_dim,
+                                 hidden_dim=10)
+        else:
+            if mapping.input_dim != Y.shape[1]:
+                raise ValueError("mapping input dim does not match Y dimension")
+            if mapping.output_dim != input_dim:
+                raise ValueError("mapping output dim does not match input_dim")
+        if kernel is None:
+            kernel = RBF(input_dim, ARD=input_dim > 1)
+        X0 = np.asarray(mapping.f(jnp.asarray(Y)))
+        super().__init__(X0, Y, kernel, Gaussian(variance=1.0),
+                         inference_method=ExactGaussianInference(), name=name)
+        self.mapping = mapping  # registered submodule: weights are params
+
+    @property
+    def latent_X(self):
+        return self.mapping.f(jnp.asarray(self.Y_normalized))
+
+    @property
+    def _predictive_variable(self):
+        return jnp.asarray(self.latent_X)
+
+    def log_likelihood(self):
+        _, lml = self.inference_method.inference(
+            self.kern, self.latent_X, self.likelihood, self.Y_normalized,
+            self.mean_function, self.Y_metadata,
+        )
+        return lml
+
+    @property
+    def posterior(self):
+        fp = self._param_fingerprint()
+        cache = self.__dict__.get("_posterior_cache")
+        if cache is not None and cache[0] == fp:
+            return cache[1]
+        post, _ = self.inference_method.inference(
+            self.kern, self.latent_X, self.likelihood, self.Y_normalized,
+            self.mean_function, self.Y_metadata,
+        )
+        self.__dict__["_posterior_cache"] = (fp, post)
+        return post
+
+
 class SparseGPLVM(SparseGP):
     """Sparse MAP GPLVM (GPy: sparse_gplvm.py:9)."""
 
@@ -180,6 +236,21 @@ class BayesianGPLVM(SparseGP):
             params, state, val = step(params, state)
         qX = NormalPosterior(np.asarray(params[0]), np.log1p(np.exp(np.asarray(params[1]))))
         return qX, -float(val)
+
+
+class DPBayesianGPLVM(BayesianGPLVM):
+    """Bayesian GPLVM with a discriminative prior on the variational latent
+    means (e.g. `gpy_tpu.priors.DGPLVM`). Reference: GPy/models/dpgplvm.py:6
+    (sets X_prior on self.X.mean). Any prior object whose lnpdf accepts the
+    (N, Q) mean matrix works."""
+
+    def __init__(self, Y, input_dim, X_prior, X=None, X_variance=None,
+                 init="PCA", num_inducing=10, Z=None, kernel=None,
+                 likelihood=None, name="dp bayesian gplvm"):
+        super().__init__(Y, input_dim, X=X, X_variance=X_variance, init=init,
+                         num_inducing=num_inducing, Z=Z, kernel=kernel,
+                         likelihood=likelihood, name=name)
+        self.qX.mean.set_prior(X_prior)
 
 
 class MRD(SparseGP):

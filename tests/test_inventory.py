@@ -50,6 +50,8 @@ GPY_MODELS = [
     "GPKroneckerGaussianRegression", "GPRegressionGrid", "GPOffsetRegression",
     "GPVariationalGaussianApproximation", "OneVsAllClassification",
     "OneVsAllSparseClassification", "StateSpace", "SVGP",
+    "BCGPLVM", "DPBayesianGPLVM", "GradientChecker", "HessianChecker",
+    "SkewChecker",
 ]
 
 GPY_INFERENCE = [

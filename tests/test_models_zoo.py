@@ -187,3 +187,44 @@ def test_sparse_classification():
     m.optimize(max_iters=150)
     p, _ = m.predict(X)
     assert np.mean((p > 0.5) == (Y > 0.5)) > 0.75
+
+
+def test_bcgplvm_optimize_and_checkgrad():
+    """Back-constrained GPLVM: X = mapping.f(Y); mapping weights optimized.
+    Reference: GPy/models/bcgplvm.py:11."""
+    import gpy_tpu.mappings as mappings
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, 25)
+    Y = np.c_[np.sin(t), np.cos(t), np.sin(2 * t)] + 0.05 * rng.normal(size=(25, 3))
+    m = gm.BCGPLVM(Y, 2)
+    assert m.checkgrad(step=1e-5)
+    n0 = float(m.objective_function())
+    m.optimize(max_iters=50)
+    assert float(m.objective_function()) < n0
+    # latent coords are a deterministic function of Y through the mapping
+    X = np.asarray(m.latent_X)
+    assert X.shape == (25, 2) and np.isfinite(X).all()
+    # custom linear mapping path
+    m2 = gm.BCGPLVM(Y, 2, mapping=mappings.Linear(3, 2))
+    assert m2.checkgrad(step=1e-5)
+
+
+def test_dp_bayesian_gplvm():
+    """BayesianGPLVM with a DGPLVM discriminative prior on q(X) means.
+    Reference: GPy/models/dpgplvm.py:6."""
+    from gpy_tpu.core.priors import DGPLVM
+    rng = np.random.default_rng(1)
+    N, D = 20, 4
+    labels = rng.integers(0, 2, N); labels[:2] = [0, 1]
+    onehot = np.zeros((N, 2)); onehot[np.arange(N), labels] = 1
+    Y = rng.normal(size=(N, D)) + 2.0 * onehot[:, :1]
+    prior = DGPLVM(1.0, onehot, (N, 2))
+    m = gm.DPBayesianGPLVM(Y, 2, prior, num_inducing=8)
+    base = gm.BayesianGPLVM(Y, 2, num_inducing=8)
+    # objective differs from the unpriored model exactly by -lnpdf(mean)
+    diff = float(m.objective_function()) - float(base.objective_function())
+    expect = -float(prior.lnpdf(np.asarray(m.qX.mean.values)))
+    assert abs(diff - expect) < 1e-6
+    n0 = float(m.objective_function())
+    m.optimize(max_iters=40)
+    assert float(m.objective_function()) < n0
