@@ -220,6 +220,62 @@ class GP(Model):
             self.likelihood.log_predictive_density(jnp.asarray(y), mu, var, Y_metadata)
         )
 
+    def log_predictive_density_sampling(self, x_test, y_test, Y_metadata=None,
+                                        num_samples=1000, seed=0):
+        """Monte-Carlo log predictive density: log (1/S) sum_s p(y*|f_s) with
+        f_s ~ posterior marginals at x*. GPy: gp.py:716-732."""
+        mu, var = self._raw_predict(x_test)
+        y = np.asarray(y_test, dtype=float)
+        if self.normalizer is not None:
+            y = self.normalizer.normalize(y)
+        key = jax.random.PRNGKey(seed)
+        mu = jnp.asarray(mu)
+        sd = jnp.sqrt(jnp.asarray(var))
+        fs = mu[None] + sd[None] * jax.random.normal(key, (num_samples,) + mu.shape)
+        logp = self.likelihood.logpdf(fs, jnp.asarray(y)[None], Y_metadata)
+        return np.asarray(jax.scipy.special.logsumexp(logp, axis=0) - jnp.log(num_samples))
+
+    def infer_newX(self, Y_new, optimize_iters=200, lr=1e-2, seed=0):
+        """MAP latent positions X* for new observations Y* on a trained
+        latent-variable GP: maximize sum log p(y*_d | f(x*)) under the
+        current posterior, by Adam on X*. GPy: gp.py:686-698 +
+        inference/latent_function_inference/inferenceX.py (which builds a
+        throwaway gradient model; here it is one jitted ascent loop)."""
+        import optax
+
+        Y_new = jnp.asarray(np.asarray(Y_new, dtype=float))
+        if self.normalizer is not None:
+            Y_new = jnp.asarray(self.normalizer.normalize(np.asarray(Y_new)))
+        n_new = Y_new.shape[0]
+        pv = self._predictive_variable
+        Q = pv.shape[1]
+        post = self.posterior
+        kern = self.kern.stop_gradient() if hasattr(self.kern, "stop_gradient") else self.kern
+        noise = jnp.asarray(self.likelihood.variance) if hasattr(self.likelihood, "variance") else 1e-6
+
+        def neg_logp(Xs):
+            mu, var = post._raw_predict(kern, Xs, pv, full_cov=False)
+            v = var + noise
+            return 0.5 * jnp.sum((Y_new - mu) ** 2 / v + jnp.log(2 * jnp.pi * v))
+
+        # init at the training latent nearest in data space
+        Ytr = jnp.asarray(self.Y_normalized)
+        d2 = jnp.sum((Y_new[:, None, :] - Ytr[None]) ** 2, -1)
+        X0 = pv[jnp.argmin(d2, axis=1)]
+        opt = optax.adam(lr)
+        state = opt.init(X0)
+
+        @jax.jit
+        def step(Xs, state):
+            val, g = jax.value_and_grad(neg_logp)(Xs)
+            updates, state = opt.update(g, state, Xs)
+            return optax.apply_updates(Xs, updates), state, val
+
+        Xs = X0
+        for _ in range(optimize_iters):
+            Xs, state, val = step(Xs, state)
+        return np.asarray(Xs), -float(val)
+
     def posterior_covariance_between_points(self, X1, X2, kern=None):
         """GPy: gp.py:735-786."""
         kern = kern or self.kern

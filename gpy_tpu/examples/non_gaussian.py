@@ -37,3 +37,41 @@ def toy_poisson_rbf_1d_laplace(optimize=True, plot=False):
     if plot:
         m.plot()
     return m
+
+
+def boston_example(optimize=True, plot=False, num_folds=4, max_iters=80):
+    """Student-t vs Gaussian GP regression on Boston housing with k-fold
+    RMSE (GPy non_gaussian.py boston_example — which `raise
+    NotImplementedError("Needs updating")`; this one runs). Synthetic
+    housing-like data offline."""
+    import numpy as np
+    from ..models import GPRegression, TPRegression
+    from ..util import datasets
+    try:
+        data = datasets.boston_housing()
+        X, Y = data["X"], data["Y"]
+    except Exception as e:
+        print(f"[gpy_tpu.examples] dataset unavailable ({e}); synthetic data")
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(120, 6))
+        Y = (X @ rng.normal(size=(6, 1))) + 0.3 * rng.standard_t(3, size=(120, 1))
+    X = (X - X.mean(0)) / X.std(0)
+    Y = (Y - Y.mean()) / Y.std()
+    n = X.shape[0]
+    rng = np.random.default_rng(1)
+    idx = rng.permutation(n)
+    folds = np.array_split(idx, num_folds)
+    scores = {"gaussian": [], "studentt": []}
+    for k in range(num_folds):
+        test = folds[k]
+        train = np.concatenate([folds[j] for j in range(num_folds) if j != k])
+        mg = GPRegression(X[train], Y[train])
+        mt = TPRegression(X[train], Y[train])
+        if optimize:
+            mg.optimize(max_iters=max_iters)
+            mt.optimize(max_iters=max_iters)
+        for name, m in (("gaussian", mg), ("studentt", mt)):
+            mu, _ = m.predict(X[test])
+            scores[name].append(float(np.sqrt(np.mean((np.asarray(mu) - Y[test]) ** 2))))
+    print({k: float(np.mean(v)) for k, v in scores.items()})
+    return scores

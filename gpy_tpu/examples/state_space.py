@@ -26,3 +26,22 @@ def sum_kernel_kalman(optimize=True, plot=False, n=200):
     if optimize:
         m.optimize(max_iters=100)
     return m
+
+
+def state_space_example(n=2000, optimize=True, plot=False):
+    """Dense GP vs O(N) Kalman state-space GP on the same Matern32 model
+    (GPy examples/state_space.py state_space_example)."""
+    import numpy as np
+    from ..models import GPRegression, StateSpace
+    import gpy_tpu.kern as gk
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 10, n)[:, None]
+    Y = np.sin(X) + rng.normal(size=X.shape) * 0.1
+    m1 = GPRegression(X[::4], Y[::4], kernel=gk.Matern32(1))  # dense on subset
+    m2 = StateSpace(X, Y, kernel=gk.Matern32(1))
+    if optimize:
+        m1.optimize(max_iters=100)
+        m2.optimize(max_iters=100)
+    print(m1)
+    print(m2)
+    return m1, m2

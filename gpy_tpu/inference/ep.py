@@ -70,9 +70,14 @@ class EP(LatentFunctionInference):
             v_c = mu / sig2 - eta * v
             tau_c = jnp.maximum(tau_c, 1e-12)
             logZ, mu_hat, s2_hat = lik.moments_match_ep(Ysg, tau_c, v_c, Y_metadata)
-            s2_hat = jnp.clip(s2_hat, 1e-12, 1e12)
+            # Site-variance floor 1e-6: only binds for effectively noise-free
+            # likelihoods (e.g. Heaviside link), whose site precisions
+            # otherwise run to ~1e12 and destroy the woodbury form's
+            # conditioning (measured: posterior mean wrong by O(1)).
+            s2_hat = jnp.clip(s2_hat, 1e-6, 1e12)
             tau_new = jnp.maximum((1.0 / s2_hat - tau_c) / eta, 0.0)
-            v_new = (mu_hat / s2_hat - v_c) / eta
+            # consistent with the clamped tau_new: site mean stays mu_hat
+            v_new = (mu_hat * (tau_c + eta * tau_new) - v_c) / eta
             tau2 = (1 - delta) * tau + delta * tau_new
             v2 = (1 - delta) * v + delta * v_new
             diff = jnp.max(jnp.abs(tau2 - tau)) + jnp.max(jnp.abs(v2 - v))
@@ -117,9 +122,12 @@ class EP(LatentFunctionInference):
         sT = jnp.sqrt(jnp.maximum(tau, 1e-300))[:, None]
         B = jnp.eye(N, dtype=K.dtype) + (sT * K) * sT.T
         L = jitchol(B)
-        Bi = jax.scipy.linalg.cho_solve((L, True), jnp.eye(N, dtype=K.dtype))
-        woodbury_inv = (sT * Bi) * sT.T
-        # mean weights: alpha = (K + S^-1)^-1 mu~ = sT B^-1 sT (v/tau) -> use v
-        alpha = (v[:, None] - (sT * (Bi @ (sT * (K @ v[:, None])))))
+        # W = sT B^-1 sT via a triangular solve (U = L^-1 diag(sT)), not an
+        # explicit inverse of the ill-conditioned B — with large site
+        # precisions the explicit-inverse route loses several digits.
+        U = jax.scipy.linalg.solve_triangular(L, jnp.diag(sT[:, 0]), lower=True)
+        woodbury_inv = U.T @ U
+        # mean weights: alpha = v - W K v  (= (K + S~^-1)^-1 S~^-1 v)
+        alpha = v[:, None] - woodbury_inv @ (K @ v[:, None])
         posterior = Posterior(woodbury_vector=alpha, woodbury_inv=woodbury_inv, K=K)
         return posterior, log_marginal

@@ -11,7 +11,7 @@ from jax.scipy.special import log_ndtr, ndtr
 from jax.scipy.stats import norm
 
 from .likelihood import Likelihood
-from .link_functions import Probit
+from .link_functions import Probit, Heaviside
 
 __all__ = ["Bernoulli"]
 
@@ -22,6 +22,9 @@ class Bernoulli(Likelihood):
 
     def _is_probit(self):
         return isinstance(self.gp_link, Probit)
+
+    def _is_heaviside(self):
+        return isinstance(self.gp_link, Heaviside)
 
     def logpdf_link(self, link_f, y, Y_metadata=None):
         # y in {0,1}; p = link_f
@@ -47,6 +50,21 @@ class Bernoulli(Likelihood):
 
         GPy: bernoulli.py moments_match_ep.
         """
+        if self._is_heaviside():
+            # Heaviside link: tilt = step(s*f) -> truncated-Gaussian moments.
+            # GPy bernoulli.py:80-85 attempts this but references an
+            # undefined variable `a` (NameError at runtime); the correct
+            # factor is z. Z = Phi(z), z = s*mu/sigma.
+            mu = v / tau
+            sigma2 = 1.0 / tau
+            s = 2.0 * jnp.asarray(Y) - 1.0
+            sigma = jnp.sqrt(sigma2)
+            z = s * mu / sigma
+            logZ = log_ndtr(z)
+            ratio = jnp.exp(norm.logpdf(z) - logZ)
+            mu_hat = mu + s * sigma * ratio
+            sigma2_hat = sigma2 * (1.0 - ratio * (z + ratio))
+            return logZ, mu_hat, jnp.maximum(sigma2_hat, 1e-15)
         if not self._is_probit():
             return super().moments_match_ep(Y, tau, v, Y_metadata)
         mu = v / tau
@@ -64,6 +82,10 @@ class Bernoulli(Likelihood):
     def predictive_mean(self, mu, var, Y_metadata=None):
         if self._is_probit():
             return ndtr(mu / jnp.sqrt(1.0 + var))
+        if self._is_heaviside():
+            # E[step(f)] under N(mu, var): Phi(mu/sqrt(var)) — no +1 term
+            # (the Heaviside link has no latent noise of its own).
+            return ndtr(mu / jnp.sqrt(jnp.maximum(var, 1e-15)))
         return super().predictive_mean(mu, var, Y_metadata)
 
     def predictive_values(self, mu, var, full_cov=False, Y_metadata=None):

@@ -7,6 +7,7 @@ bounds or SVGP for non-Gaussian).
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..core.sparse_gp import SparseGP
 from ..inference.var_dtc import VarDTC
@@ -31,12 +32,14 @@ class SparseGPRegression(SparseGP):
     """
 
     def __init__(self, X, Y, kernel=None, Z=None, num_inducing=10, mean_function=None,
-                 normalizer=None, noise_var=1.0, infer="vardtc", pep_alpha=0.5,
-                 name="sparse_gp"):
+                 X_variance=None, normalizer=None, noise_var=1.0, infer="vardtc",
+                 pep_alpha=0.5, name="sparse_gp"):
         if kernel is None:
             kernel = RBF(np.asarray(X).shape[1])
         if Z is None:
             Z = _default_Z(X, num_inducing)
+        if X_variance is not None and infer != "vardtc":
+            raise ValueError("uncertain inputs need the VarDTC bound")
         inference = {
             "vardtc": lambda: VarDTC(),
             "fitc": lambda: FITC(),
@@ -48,3 +51,39 @@ class SparseGPRegression(SparseGP):
             inference_method=inference, mean_function=mean_function,
             name=name, normalizer=normalizer,
         )
+        # Uncertain inputs (GPy sparse_gp_regression.py:12 X_variance path):
+        # X ~ N(X, X_variance) is FIXED data — the VarDTC bound uses the
+        # psi-statistic expectations instead of the plain Gram matrices.
+        self._X_variance = None if X_variance is None else np.asarray(
+            X_variance, dtype=float)
+
+    def _qX(self):
+        if self._X_variance is None:
+            return None
+        from ..core.variational import NormalPosterior
+        return NormalPosterior(np.asarray(self.X), self._X_variance)
+
+    def log_likelihood(self):
+        qX = self._qX()
+        if qX is None:
+            return super().log_likelihood()
+        return self.inference_method.marginal_likelihood(
+            self.kern, None, jnp.asarray(self.Z), self.likelihood,
+            self.Y_normalized, self.mean_function, self.Y_metadata, qX=qX,
+        )
+
+    @property
+    def posterior(self):
+        qX = self._qX()
+        if qX is None:
+            return SparseGP.posterior.fget(self)
+        fp = self._param_fingerprint()
+        cache = self.__dict__.get("_posterior_cache")
+        if cache is not None and cache[0] == fp:
+            return cache[1]
+        post, _ = self.inference_method.inference(
+            self.kern, None, jnp.asarray(self.Z), self.likelihood,
+            self.Y_normalized, self.mean_function, self.Y_metadata, qX=qX,
+        )
+        self.__dict__["_posterior_cache"] = (fp, post)
+        return post

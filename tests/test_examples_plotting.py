@@ -20,6 +20,52 @@ def test_regression_examples():
     assert np.isfinite(float(m3.log_likelihood()))
 
 
+def test_new_regression_examples():
+    """The demos added for full GPy examples/regression.py coverage."""
+    from gpy_tpu.examples import regression
+
+    m = regression.uncertain_inputs_sparse_regression(max_iters=40)
+    assert np.isfinite(float(m.log_likelihood()))
+    m = regression.parametric_mean_function(max_iters=30)
+    assert np.isfinite(float(m.log_likelihood()))
+    m = regression.multioutput_gp_with_derivative_observations()
+    assert np.isfinite(float(m.log_likelihood()))
+    models, lls = regression.multiple_optima(resolution=3, model_restarts=1,
+                                             max_iters=20)
+    assert np.isfinite(lls).all() and len(models) == 1
+
+
+def test_new_classification_examples():
+    from gpy_tpu.examples import classification
+
+    m = classification.toy_heaviside(max_iters=25)
+    assert np.isfinite(float(m.log_likelihood()))
+    m = classification.sparse_toy_linear_1d_classification_uncertain_input(max_iters=25)
+    assert np.isfinite(float(m.log_likelihood()))
+    m = classification.oil(num_inducing=15, max_iters=20)
+    assert np.isfinite(float(m.log_likelihood()))
+
+
+def test_new_dimred_examples():
+    from gpy_tpu.examples import dimensionality_reduction as D
+
+    m = D.bgplvm_test_model()
+    assert np.isfinite(float(m.log_likelihood()))
+    m = D.swiss_roll(N=40, num_inducing=8)
+    assert np.isfinite(float(m.log_likelihood()))
+    m = D.bcgplvm_linear_stick(max_iters=15)
+    assert np.isfinite(float(m.log_likelihood()))
+
+
+def test_boston_and_state_space_example():
+    from gpy_tpu.examples import non_gaussian, state_space
+
+    scores = non_gaussian.boston_example(num_folds=2, max_iters=20)
+    assert np.isfinite(scores["gaussian"]).all()
+    m1, m2 = state_space.state_space_example(n=200, optimize=False)
+    assert np.isfinite(float(m2.log_likelihood()))
+
+
 def test_classification_examples():
     from gpy_tpu.examples import classification
 

@@ -235,3 +235,27 @@ def test_optimizer_zoo_reaches_lbfgs_optimum():
     f0 = float(m.objective_function())
     m.optimize("adadelta", max_iters=300, step_size=1.0)
     assert float(m.objective_function()) < f0
+
+
+def test_log_predictive_density_sampling_matches_exact():
+    """MC predictive density agrees with the closed form (GPy gp.py:716-732)."""
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 5, 30).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rng.normal(size=X.shape)
+    m = gpy_tpu.models.GPRegression(X, Y)
+    m.optimize(max_iters=30)
+    lpd = m.log_predictive_density(X[:3], Y[:3])
+    lpds = m.log_predictive_density_sampling(X[:3], Y[:3], num_samples=20000)
+    np.testing.assert_allclose(lpd.ravel(), lpds.ravel(), atol=0.08)
+
+
+def test_infer_newX_recovers_training_latents():
+    """GP.infer_newX (GPy gp.py:686-698 / inferenceX.py) on a trained GPLVM."""
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 2 * np.pi, 25)
+    Y = np.c_[np.sin(t), np.cos(t), np.sin(2 * t)] + 0.05 * rng.normal(size=(25, 3))
+    g = gpy_tpu.models.GPLVM(Y, 2)
+    g.optimize(max_iters=100)
+    Xs, lp = g.infer_newX(Y[:4])
+    d = np.linalg.norm(Xs - np.asarray(g.latent_X)[:4], axis=1)
+    assert np.all(d < 0.05) and np.isfinite(lp)

@@ -127,3 +127,37 @@ def test_ep_poisson_quadrature_moments():
     ll = float(m.log_likelihood())
     assert np.isfinite(ll)
     assert m.checkgrad()
+
+
+def test_heaviside_ep_moments_and_classification():
+    """Analytic truncated-Gaussian EP moments for the Heaviside link.
+    Reference: GPy bernoulli.py:80-85 attempts these but references an
+    undefined variable (`a`) and crashes; here they are exact."""
+    import jax.numpy as jnp
+    from scipy.stats import norm as sn
+    from gpy_tpu.likelihoods import Bernoulli, link_functions
+    lik = Bernoulli(gp_link=link_functions.Heaviside())
+    for (y, tau, v) in [(1.0, 2.0, 1.0), (0.0, 0.5, -0.3), (1.0, 1.0, -2.0)]:
+        mu, s2 = v / tau, 1 / tau
+        s = 2 * y - 1
+        # truncated-Gaussian oracle
+        z = s * mu / np.sqrt(s2)
+        ratio = sn.pdf(z) / sn.cdf(z)
+        m1 = mu + s * np.sqrt(s2) * ratio
+        m2 = s2 * (1 - ratio * (z + ratio))
+        logZ, mh, vh = [float(x) for x in lik.moments_match_ep(
+            jnp.asarray(y), jnp.asarray(tau), jnp.asarray(v))]
+        assert abs(logZ - sn.logcdf(z)) < 1e-10
+        assert abs(m1 - mh) < 1e-10 and abs(m2 - vh) < 1e-9
+    # end-to-end: noise-free-link classification is exact on separable data
+    from gpy_tpu.core.gp import GP
+    from gpy_tpu.inference import EP
+    from gpy_tpu.kern import RBF
+    from gpy_tpu.util import datasets
+    data = datasets.toy_linear_1d_classification(seed=0)
+    Y = data["Y"][:, 0:1]
+    m = GP(data["X"], Y, RBF(1), Bernoulli(gp_link=link_functions.Heaviside()),
+           inference_method=EP(), name="heaviside_gpc")
+    m.optimize(max_iters=30)
+    p, _ = m.predict(np.asarray(m.X))
+    assert np.mean((p > 0.5) == (Y > 0.5)) > 0.95
