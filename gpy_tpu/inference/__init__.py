@@ -1,7 +1,7 @@
 """Inference methods (reference: GPy/inference/latent_function_inference/)."""
 from .exact import LatentFunctionInference, ExactGaussianInference, ExactStudentTInference
 from .posterior import Posterior
-from .laplace import Laplace
+from .laplace import Laplace, LaplaceBlock
 from .ep import EP
 from .var_dtc import VarDTC
 from .fitc import FITC, DTC, PEP
@@ -16,6 +16,7 @@ __all__ = [
     "ExactStudentTInference",
     "Posterior",
     "Laplace",
+    "LaplaceBlock",
     "EP",
     "VarDTC",
     "FITC",

@@ -31,7 +31,7 @@ from ..util.linalg import jitchol
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
-__all__ = ["Laplace"]
+__all__ = ["Laplace", "LaplaceBlock"]
 
 
 def _W_grad(f, likelihood, Y, Y_metadata, m):
@@ -117,6 +117,112 @@ class Laplace(LatentFunctionInference):
         )
         # (K + W^{-1})^{-1} = (I + W K)^{-1} W   (no 1/W — safe for W<=0)
         Ai_W = jnp.linalg.solve(A, jnp.diag(W[:, 0]))
+        woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
+        posterior = Posterior(woodbury_vector=a, woodbury_inv=woodbury_inv, K=K)
+        return posterior, log_marginal
+
+
+# ---------------------------------------------------------------------------
+# Block (non-diagonal Hessian) Laplace
+# ---------------------------------------------------------------------------
+def _W_block(f, likelihood, Y, Y_metadata, m):
+    """Negative Hessian of sum log p(y|f) as a full (N, N) matrix.
+
+    Likelihoods whose log-density couples latent values (so that
+    d2 logpdf / df_i df_j is non-diagonal) expose `d2_logpdf_df2_block`;
+    everything else falls back to embedding the diagonal tower — in that
+    case LaplaceBlock agrees with Laplace exactly.
+
+    The reference clips the diagonal of W to [1e-6, 1e30]
+    (laplace.py:375, 424); we match that for the same PD safety.
+    """
+    if hasattr(likelihood, "d2_logpdf_df2_block"):
+        W = -likelihood.d2_logpdf_df2_block(f + m, Y, Y_metadata)
+    else:
+        W = jnp.diagflat(-likelihood.d2_logpdf_df2(f + m, Y, Y_metadata))
+    d = jnp.clip(jnp.diagonal(W), 1e-6, 1e30)
+    W = W - jnp.diagflat(jnp.diagonal(W)) + jnp.diagflat(d)
+    grad = likelihood.d_logpdf_df(f + m, Y, Y_metadata)
+    return W, grad
+
+
+def _newton_direction_block(f, K, likelihood, Y, Y_metadata, m):
+    """f_nt = K (I + W K)^{-1} (W f + grad) with full-matrix W."""
+    W, grad = _W_block(f, likelihood, Y, Y_metadata, m)
+    N = K.shape[0]
+    b = W @ f + grad
+    A = jnp.eye(N, dtype=K.dtype) + W @ K
+    a = jnp.linalg.solve(A, b)
+    return K @ a, a
+
+
+class LaplaceBlock(Laplace):
+    """Laplace approximation with a full (non-diagonal) likelihood Hessian.
+
+    Reference: GPy/inference/latent_function_inference/laplace.py:355-502
+    (LaplaceBlock.rasm_mode / mode_computations / _compute_B_statistics with
+    matrix W, general B = I + K W, slogdet evidence).
+
+    TPU design: identical architecture to `Laplace` — damped Newton under
+    `lax.while_loop` with a vectorized line search on stop-gradded inputs,
+    then ONE differentiable Newton step from the mode (the implicit-function
+    derivative), replacing the reference's explicit/implicit dL_dK algebra
+    (laplace.py:443-460). The only change is that every `diag(W) @ .`
+    contraction becomes a dense matmul (MXU-friendly for coupled
+    likelihoods).
+    """
+
+    def _find_mode(self, K, likelihood, Y, Y_metadata, m):
+        K = lax.stop_gradient(K)
+        lik = likelihood.stop_gradient()
+        Ysg = lax.stop_gradient(Y)
+        msg = lax.stop_gradient(m)
+        dt = K.dtype
+        L_K = jitchol(K)
+        steps = jnp.asarray(2.0 ** -np.arange(self.n_linesearch), dtype=dt)
+
+        def psi(f):
+            Kinv_f = jax.scipy.linalg.cho_solve((L_K, True), f)
+            return jnp.sum(lik.logpdf(f + msg, Ysg, Y_metadata)) - 0.5 * jnp.sum(f * Kinv_f)
+
+        def body(state):
+            f, prev_psi, _, it = state
+            f_nt, _ = _newton_direction_block(f, K, lik, Ysg, Y_metadata, msg)
+            d = f_nt - f
+            cand = f[None, :, :] + steps[:, None, None] * d[None, :, :]
+            vals = jax.vmap(psi)(cand)
+            best = jnp.argmax(vals)
+            improved = vals[best] > prev_psi
+            f_new = jnp.where(improved, cand[best], f)
+            new_psi = jnp.where(improved, vals[best], prev_psi)
+            return f_new, new_psi, jnp.abs(new_psi - prev_psi), it + 1
+
+        def cond(state):
+            _, _, delta, it = state
+            return (delta > self.tol) & (it < self.max_iters)
+
+        f0 = jnp.zeros_like(Y)
+        state0 = (f0, psi(f0), jnp.asarray(jnp.inf, dtype=dt), 0)
+        f, _, _, _ = lax.while_loop(cond, body, state0)
+        return lax.stop_gradient(f)
+
+    def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
+        N, D = Y.shape
+        assert D == 1, "LaplaceBlock inference supports single-output models (as GPy)"
+        m = mean_function.f(X) if mean_function is not None else jnp.zeros_like(Y)
+        K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
+        f_star = self._find_mode(K, likelihood, Y, Y_metadata, m)
+        f_hat, a = _newton_direction_block(
+            lax.stop_gradient(f_star), K, likelihood, Y, Y_metadata, m)
+        W, _ = _W_block(f_hat, likelihood, Y, Y_metadata, m)
+        A = jnp.eye(N, dtype=K.dtype) + W @ K
+        sign, logdetA = jnp.linalg.slogdet(A)
+        log_marginal = (
+            jnp.sum(likelihood.logpdf(f_hat + m, Y, Y_metadata))
+            - 0.5 * jnp.sum(a * f_hat)
+            - 0.5 * logdetA
+        )
+        Ai_W = jnp.linalg.solve(A, W)
         woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
         posterior = Posterior(woodbury_vector=a, woodbury_inv=woodbury_inv, K=K)
         return posterior, log_marginal

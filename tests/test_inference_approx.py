@@ -161,3 +161,62 @@ def test_heaviside_ep_moments_and_classification():
     m.optimize(max_iters=30)
     p, _ = m.predict(np.asarray(m.X))
     assert np.mean((p > 0.5) == (Y > 0.5)) > 0.95
+
+
+# --- LaplaceBlock (GPy laplace.py:355-502) ----------------------------------
+def test_laplace_block_matches_diagonal_laplace():
+    """With a diagonal-Hessian likelihood, LaplaceBlock == Laplace exactly
+    (the block path embeds diag(W); same mode, same evidence)."""
+    from gpy_tpu.inference import LaplaceBlock
+    X, Y = _banana(24)
+    k = gk.RBF(2, variance=0.9, lengthscale=1.2)
+    lik = Bernoulli()
+    p1, l1 = Laplace().inference(k, jnp.asarray(X), lik, jnp.asarray(Y))
+    p2, l2 = LaplaceBlock().inference(k, jnp.asarray(X), lik, jnp.asarray(Y))
+    assert float(l2) == pytest.approx(float(l1), rel=1e-6, abs=1e-6)
+    Xs = jnp.asarray(rng.standard_normal((5, 2)))
+    mu1, v1 = p1._raw_predict(k, Xs, jnp.asarray(X))
+    mu2, v2 = p2._raw_predict(k, Xs, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-4, atol=1e-6)
+
+
+def test_laplace_block_coupled_likelihood():
+    """A genuinely coupled likelihood (pairwise quadratic coupling of latents):
+    block Newton must find the analytic Gaussian-posterior evidence.
+
+    With log p(y|f) = -0.5 f' P f + y' f  (P full PD), the Laplace
+    approximation is exact: log Z = log N(b; 0, K + P^{-1}) + const-terms
+    evaluated analytically below.
+    """
+    from gpy_tpu.inference import LaplaceBlock
+    from gpy_tpu.likelihoods import Likelihood
+
+    n = 12
+    A = rng.standard_normal((n, n)) * 0.2
+    P = A @ A.T + np.eye(n)  # PD coupling
+    yv = rng.standard_normal((n, 1))
+
+    class CoupledQuadratic(Likelihood):
+        def logpdf(self, f, y, Y_metadata=None):
+            Pj = jnp.asarray(P, dtype=f.dtype)
+            return -0.5 * jnp.sum(f * (Pj @ f)) + jnp.sum(y * f)
+
+        def d_logpdf_df(self, f, y, Y_metadata=None):
+            return -jnp.asarray(P, dtype=f.dtype) @ f + y
+
+        def d2_logpdf_df2_block(self, f, y, Y_metadata=None):
+            return -jnp.asarray(P, dtype=f.dtype) * jnp.ones_like(f[:1, :1])
+
+    X = rng.standard_normal((n, 1))
+    k = gk.RBF(1, variance=1.1, lengthscale=0.7)
+    K = np.asarray(k.K(jnp.asarray(X))) + 1e-8 * np.eye(n)
+    post, lml = LaplaceBlock().inference(
+        k, jnp.asarray(X), CoupledQuadratic(), jnp.asarray(yv))
+
+    # analytic: psi(f) = -.5 f'(K^-1+P)f + y'f ; logZ = .5 y'(K^-1+P)^-1 y
+    #           - .5 logdet(I + K P)
+    H = np.linalg.inv(K) + P
+    fhat = np.linalg.solve(H, yv)
+    logZ = 0.5 * float((yv.T @ fhat)[0, 0]) - 0.5 * np.linalg.slogdet(np.eye(n) + K @ P)[1]
+    assert float(lml) == pytest.approx(logZ, rel=1e-5, abs=1e-5)

@@ -55,7 +55,8 @@ GPY_MODELS = [
 ]
 
 GPY_INFERENCE = [
-    "ExactGaussianInference", "ExactStudentTInference", "Laplace", "EP",
+    "ExactGaussianInference", "ExactStudentTInference", "Laplace",
+    "LaplaceBlock", "EP",
     "EPDTC", "VarDTC", "FITC", "DTC", "PEP", "SVGPInference", "VarGauss",
     "VarDTCMissingData",
 ]
