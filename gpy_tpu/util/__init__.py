@@ -1,3 +1,4 @@
+from . import diagnostics
 from . import linalg
 from . import normalizer
 from . import mocap

@@ -207,3 +207,30 @@ def test_optimize_parallel_checkpoints(tmp_path):
     m2 = gpy_tpu.load(str(ckpts[0]))
     assert float(m2.objective_function()) == pytest.approx(
         float(m.objective_function()), rel=1e-6)
+
+
+# --- diagnostics (SURVEY §5: step timing + profiler traces) -----------------
+def test_step_timer_and_metrics():
+    import jax.numpy as jnp
+    from gpy_tpu.util.diagnostics import StepTimer, Metrics, trace, log_compiles
+
+    timer = StepTimer(skip_first=1)
+    for i in range(4):
+        with timer.step():
+            v = jnp.sum(jnp.arange(100.0) * (i + 1))
+        timer.mark_output(v)
+    s = timer.summary()
+    assert s["steps"] == 4 and s["best_s"] >= 0.0 and s["steps_per_s"] > 0
+
+    m = Metrics()
+    for i in range(3):
+        m.record("elbo", -100.0 + i)
+    m.record_many(lr=0.1, grad_norm=2.5)
+    assert m.last("elbo") == -98.0
+    assert m.summary()["elbo"]["count"] == 3
+    assert m.history("lr") == [0.1]
+
+    with trace("region"):
+        _ = jnp.ones(3) + 1
+    with log_compiles(False):
+        _ = jnp.ones(3) + 1
