@@ -18,6 +18,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg as jsl
 from ..inference.svgp import SVGPInference, svgp_elbo_parts
 from ..util.choleskies import flat_to_triang, triang_to_flat
 from .sparse_gp import SparseGP
@@ -124,59 +125,93 @@ class SVGP(SparseGP):
         S0 = jnp.einsum("dij,dkj->dik", flat_to_triang(jnp.asarray(self.q_u_chol), M),
                         flat_to_triang(jnp.asarray(self.q_u_chol), M))
 
-        def elbo(hypers, q_mean, S, Xb, Yb):
-            model = self.with_raw_dict(hypers)
-            # symmetrize so autodiff returns the symmetric gradient dL/dS
-            S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-            Ls = jnp.linalg.cholesky(S + 1e-10 * jnp.eye(M, dtype=S.dtype))
-            flat = triang_to_flat(Ls)
-            datafit, kl = svgp_elbo_parts(
-                model.kern, Xb, jnp.asarray(model.Z), model.likelihood, Yb,
-                q_mean, flat, md, scale, model.mean_function,
-            )
-            return datafit - kl + model.log_prior()
+        from ..inference.svgp import svgp_elbo_parts_L, svgp_elbo_parts_S
 
         opt = optax.adam(step_size)
         opt_state = opt.init(hyper_raw)
-
-        def natgrad_update(q_mean, S, dm, dS, lr):
-            # natural params theta1 = S^-1 m, theta2 = -1/2 S^-1 (per output d)
-            def upd(m_d, S_d, dm_d, dS_d):
-                Si = jnp.linalg.inv(S_d)
-                th1 = Si @ m_d
-                th2 = -0.5 * Si
-                g1 = dm_d - 2.0 * dS_d @ m_d
-                g2 = dS_d
-                th1n = th1 + lr * g1
-                th2n = th2 + lr * g2
-                S_new = -0.5 * jnp.linalg.inv(0.5 * (th2n + th2n.T))
-                S_new = 0.5 * (S_new + S_new.T)
-                return S_new @ th1n, S_new
-
-            m_new, S_new = jax.vmap(upd)(q_mean.T[:, :, None], S, dm.T[:, :, None], dS)
-            return m_new[:, :, 0].T, S_new
-
         full_batch = batchsize >= self.num_data
+        eye = jnp.eye(M, dtype=S0.dtype)
 
-        def step(carry, key):
-            hypers, q_mean, S, opt_state = carry
+        def _batch(key):
             if full_batch:
-                Xb, Yb = X_all, Y_all
-            else:
-                idx = jax.random.randint(key, (batchsize,), 0, self.num_data)
-                Xb, Yb = X_all[idx], Y_all[idx]
-            val, grads = jax.value_and_grad(elbo, argnums=(0, 1, 2))(hypers, q_mean, S, Xb, Yb)
-            g_h, g_m, g_S = grads
+                return X_all, Y_all
+            idx = jax.random.randint(key, (batchsize,), 0, self.num_data)
+            return X_all[idx], Y_all[idx]
+
+        def _adam_on_hypers(hypers, g_h, opt_state):
             neg_gh = jax.tree_util.tree_map(lambda g: -g, g_h)
             updates, new_opt = opt.update(neg_gh, opt_state, hypers)
-            hypers = optax.apply_updates(hypers, updates)
-            if use_natgrad:
-                q_mean, S = natgrad_update(q_mean, S, g_m, g_S, natgrad_step_size)
-            else:
-                q_mean = q_mean + step_size * g_m
-                S = S + step_size * g_S
-                S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-            return (hypers, q_mean, S, new_opt), val
+            return optax.apply_updates(hypers, updates), new_opt
+
+        # --- natural-gradient step: ELBO closed-form in S ------------------
+        # The step carries (S, S^-1, logdet S) so the hot loop never
+        # factorizes S: the ELBO uses S through matmuls only (parts_S), the
+        # entropy gradient +0.5 S^-1 is added analytically, and the update's
+        # new precision H = S^-1 - 2 lr dS IS the only matrix that needs a
+        # Cholesky (its factor also refreshes logdet S exactly).
+        def elbo_S(hypers, q_mean, S, logdetS, Xb, Yb):
+            model = self.with_raw_dict(hypers)
+            S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+            datafit, kl = svgp_elbo_parts_S(
+                model.kern, Xb, jnp.asarray(model.Z), model.likelihood, Yb,
+                q_mean, S, logdetS, md, scale, model.mean_function,
+            )
+            return datafit - kl + model.log_prior()
+
+        def natgrad_step(carry, key):
+            hypers, q_mean, S, Si, logdetS, opt_state = carry
+            Xb, Yb = _batch(key)
+            val, grads = jax.value_and_grad(elbo_S, argnums=(0, 1, 2))(
+                hypers, q_mean, S, logdetS, Xb, Yb)
+            g_h, g_m, g_S = grads
+            hypers, opt_state = _adam_on_hypers(hypers, g_h, opt_state)
+            lr = natgrad_step_size
+
+            def upd(m_d, Si_d, dm_d, dS_d):
+                # total dELBO/dS = autodiff part + 0.5 S^-1 (entropy term,
+                # analytic because logdet S is a carried constant in elbo_S)
+                dS_tot = 0.5 * (dS_d + dS_d.T) + 0.5 * Si_d
+                th1 = Si_d @ m_d
+                th1n = th1 + lr * (dm_d - 2.0 * dS_tot @ m_d)
+                H = Si_d - 2.0 * lr * dS_tot  # -2 * new theta2 = new precision
+                Lh = jnp.linalg.cholesky(H + 1e-10 * eye)
+                Lhi = jsl.solve_triangular(Lh, eye, lower=True)
+                S_new = Lhi.T @ Lhi
+                S_new = 0.5 * (S_new + S_new.T)
+                ld_new = -2.0 * jnp.sum(jnp.log(jnp.diagonal(Lh)))
+                return S_new @ th1n, S_new, 0.5 * (H + H.T), ld_new
+
+            m_new, S_new, Si_new, ld_new = jax.vmap(upd)(
+                q_mean.T[:, :, None], Si, g_m.T[:, :, None], g_S)
+            carry = (hypers, m_new[:, :, 0].T, S_new, Si_new, jnp.sum(ld_new), opt_state)
+            return carry, val
+
+        # --- plain-gradient step (use_natgrad=False) ------------------------
+        def elbo_L(hypers, q_mean, S, Xb, Yb):
+            model = self.with_raw_dict(hypers)
+            S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+            Ls = jnp.linalg.cholesky(S + 1e-10 * eye)
+            # pass L directly — the flat-chol packing round trip (131k-element
+            # scatter+gather and their VJPs) has no place in the hot loop
+            datafit, kl = svgp_elbo_parts_L(
+                model.kern, Xb, jnp.asarray(model.Z), model.likelihood, Yb,
+                q_mean, Ls, md, scale, model.mean_function,
+            )
+            return datafit - kl + model.log_prior()
+
+        def plain_step(carry, key):
+            hypers, q_mean, S, Si, logdetS, opt_state = carry
+            Xb, Yb = _batch(key)
+            val, grads = jax.value_and_grad(elbo_L, argnums=(0, 1, 2))(
+                hypers, q_mean, S, Xb, Yb)
+            g_h, g_m, g_S = grads
+            hypers, opt_state = _adam_on_hypers(hypers, g_h, opt_state)
+            q_mean = q_mean + step_size * g_m
+            S = S + step_size * g_S
+            S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+            return (hypers, q_mean, S, Si, logdetS, opt_state), val
+
+        step = natgrad_step if use_natgrad else plain_step
 
         # run the scan in fixed-size jitted chunks so the compiled executable
         # is reused across fit() calls (cache keyed on config below)
@@ -195,7 +230,12 @@ class SVGP(SparseGP):
             self.__dict__["_fit_chunk_cache"] = (cache_key, run_chunk_j)
 
         master = jax.random.PRNGKey(seed)
-        carry = (hyper_raw, m0, S0, opt_state)
+        # initial (S^-1, logdet S) from the chol we already hold in the param
+        Ls0 = flat_to_triang(jnp.asarray(self.q_u_chol), M)
+        Li0 = jax.vmap(lambda L: jsl.solve_triangular(L, eye, lower=True))(Ls0)
+        Si0 = jnp.einsum("dji,djk->dik", Li0, Li0)  # L^-T L^-1 per output
+        ld0 = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Ls0, axis1=-2, axis2=-1))))
+        carry = (hyper_raw, m0, S0, Si0, ld0, opt_state)
         traces = []
         done = 0
         ci = 0
@@ -207,7 +247,7 @@ class SVGP(SparseGP):
             traces.append(tr[:take])
             done += take
             ci += 1
-        hypers, q_mean, S, _ = carry
+        hypers, q_mean, S, _, _, _ = carry
         trace = jnp.concatenate(traces)
         # write back
         self.set_raw_dict(hypers)

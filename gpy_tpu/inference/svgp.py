@@ -22,7 +22,8 @@ from ..util.linalg import jitchol
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
-__all__ = ["SVGPInference", "svgp_elbo_parts"]
+__all__ = ["SVGPInference", "svgp_elbo_parts", "svgp_elbo_parts_L",
+           "svgp_elbo_parts_S"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
 CONST_JITTER = 1e-6
@@ -73,17 +74,68 @@ def kl_qu_pu(q_u_mean, L_u, Lmm):
     return 0.5 * (trace + mahal - M * D + D * logdet_K - logdet_S)
 
 
-def svgp_elbo_parts(kern, X, Z, likelihood, Y, q_u_mean, q_u_chol_flat,
-                    Y_metadata=None, batch_scale=1.0, mean_function=None):
-    """Returns (datafit_sum, KL). ELBO = batch_scale * datafit - KL."""
-    M = Z.shape[0]
-    D = Y.shape[1]
-    L_u = flat_to_triang(q_u_chol_flat, M)  # (D, M, M)
+def svgp_elbo_parts_L(kern, X, Z, likelihood, Y, q_u_mean, L_u,
+                      Y_metadata=None, batch_scale=1.0, mean_function=None):
+    """ELBO parts taking the (D, M, M) lower-chol of S directly.
+
+    The training hot loop (core/svgp.py fit) carries S and owns its own
+    Cholesky; going through the flat packing would add a 131k-element
+    scatter + gather (and their VJPs) per step for nothing.
+    """
     mu, var, Lmm, _ = q_f_marginals(kern, X, Z, q_u_mean, L_u)
     if mean_function is not None:
         mu = mu + mean_function.f(X)
     F = likelihood.variational_expectations(Y, mu, var, Y_metadata)
     kl = kl_qu_pu(q_u_mean, L_u, Lmm)
+    return jnp.sum(F) * batch_scale, kl
+
+
+def svgp_elbo_parts(kern, X, Z, likelihood, Y, q_u_mean, q_u_chol_flat,
+                    Y_metadata=None, batch_scale=1.0, mean_function=None):
+    """Returns (datafit_sum, KL). ELBO = batch_scale * datafit - KL."""
+    M = Z.shape[0]
+    L_u = flat_to_triang(q_u_chol_flat, M)  # (D, M, M)
+    return svgp_elbo_parts_L(kern, X, Z, likelihood, Y, q_u_mean, L_u,
+                             Y_metadata, batch_scale, mean_function)
+
+
+def svgp_elbo_parts_S(kern, X, Z, likelihood, Y, q_u_mean, S, logdet_S,
+                      Y_metadata=None, batch_scale=1.0, mean_function=None):
+    """ELBO parts written closed-form in the covariance S (no Cholesky of S).
+
+    S enters the ELBO only through diag(A' S A), tr(Kmm^-1 S) and logdet S —
+    all matmul-shaped except the logdet, which the natural-gradient training
+    loop carries exactly (it falls out of the precision Cholesky of the
+    natgrad update). This removes chol(S) AND its VJP from the hot step;
+    the entropy part of dELBO/dS (+0.5 S^-1, from the logdet term that is
+    passed in as a constant here) must be added analytically by the caller.
+
+    S: (D, M, M) symmetric PD; logdet_S: scalar, sum over outputs.
+    """
+    import jax
+
+    M = Z.shape[0]
+    D = Y.shape[1]
+    Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+    Lmm = jnp.linalg.cholesky(Kmm)
+    Kmn = kern.K(Z, X)
+    A = jsl.cho_solve((Lmm, True), Kmn)  # (M, N)
+    mu = A.T @ q_u_mean
+    if mean_function is not None:
+        mu = mu + mean_function.f(X)
+    Kdiag = kern.Kdiag(X)
+    AKmn = jnp.sum(A * Kmn, axis=0)
+    SA = jnp.einsum("dij,jn->din", S, A)  # (D, M, N)
+    ASA = jnp.sum(A[None] * SA, axis=1).T  # (N, D)
+    var = jnp.maximum((Kdiag - AKmn)[:, None] + ASA, 1e-12)
+    F = likelihood.variational_expectations(Y, mu, var, Y_metadata)
+    # KL(q||p): 0.5 (tr(Kmm^-1 S) + m' Kmm^-1 m - MD + D logdet K - logdet S)
+    Li_m = jsl.solve_triangular(Lmm, q_u_mean, lower=True)
+    mahal = jnp.sum(Li_m**2)
+    Kmmi = jsl.cho_solve((Lmm, True), jnp.eye(M, dtype=Z.dtype))
+    trace = jnp.sum(Kmmi[None] * S)
+    logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lmm)))
+    kl = 0.5 * (trace + mahal - M * D + D * logdet_K - logdet_S)
     return jnp.sum(F) * batch_scale, kl
 
 

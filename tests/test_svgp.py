@@ -103,3 +103,52 @@ def test_stochastic_grad_api():
     g = m.stochastic_grad()
     assert g.shape == (m.num_free_params,)
     assert np.all(np.isfinite(g))
+
+
+def test_elbo_parts_S_equals_parts_L():
+    """The closed-form-in-S ELBO (natgrad hot path) must equal the chol-based
+    one at S = L L', logdet S = 2 sum log diag L."""
+    import jax.numpy as jnp
+    from gpy_tpu.inference.svgp import svgp_elbo_parts_L, svgp_elbo_parts_S
+    from gpy_tpu.likelihoods import Gaussian
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(5)
+    N, M, D, Dy = 50, 12, 3, 2
+    X = rng.standard_normal((N, D))
+    Y = rng.standard_normal((N, Dy))
+    Z = rng.standard_normal((M, D))
+    q_mean = rng.standard_normal((M, Dy))
+    A = rng.standard_normal((Dy, M, M)) * 0.2
+    L = np.tril(A) + np.eye(M) * 1.2
+    S = np.einsum("dij,dkj->dik", L, L)
+    logdetS = 2.0 * np.sum(np.log(np.abs(np.diagonal(L, axis1=-2, axis2=-1))))
+    k = gk.RBF(D, variance=0.7, lengthscale=1.3)
+    lik = Gaussian(variance=0.2)
+    dfL, klL = svgp_elbo_parts_L(k, jnp.asarray(X), jnp.asarray(Z), lik,
+                                 jnp.asarray(Y), jnp.asarray(q_mean), jnp.asarray(L),
+                                 None, 1.7, None)
+    dfS, klS = svgp_elbo_parts_S(k, jnp.asarray(X), jnp.asarray(Z), lik,
+                                 jnp.asarray(Y), jnp.asarray(q_mean), jnp.asarray(S),
+                                 jnp.asarray(logdetS), None, 1.7, None)
+    assert float(dfS) == pytest.approx(float(dfL), rel=1e-8)
+    assert float(klS) == pytest.approx(float(klL), rel=1e-8)
+
+
+def test_fit_natgrad_entropy_gradient_direction():
+    """One natgrad step from a non-stationary point must increase the
+    full-batch ELBO (exact total dS including the analytic entropy term)."""
+    from gpy_tpu.core.svgp import SVGP
+    from gpy_tpu.likelihoods import Gaussian
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(6)
+    N, M = 80, 10
+    X = rng.standard_normal((N, 2))
+    Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1)))
+    Z = X[:M].copy()
+    m = SVGP(X, Y, Z, gk.RBF(2), Gaussian(variance=0.5))
+    e0 = float(m.log_likelihood())
+    m.fit(iters=1, batchsize=N, use_natgrad=True, step_size=0.0, natgrad_step_size=0.05)
+    e1 = float(m.log_likelihood())
+    assert e1 > e0
