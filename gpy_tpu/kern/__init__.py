@@ -33,6 +33,7 @@ from .eq_ode2 import EQ_ODE2
 from .ode_uy import ODE_UY, ODE_UYC, ODE_st, ODE_t
 from .multioutput_kern import DiffKern, MultioutputKern, MultioutputDerivativeKern
 from .psi_comp import PSICOMP_RBF, PSICOMP_Linear
+from .symbolic import Symbolic
 from . import sde  # attaches sde() to RBF/StdPeriodic/Bias
 
 __all__ = [
@@ -50,4 +51,5 @@ __all__ = [
     "Symmetric", "SplitKern", "DEtime", "GridRBF",
     "DiffKern", "MultioutputKern", "MultioutputDerivativeKern",
     "EQ_ODE1", "EQ_ODE2", "ODE_UY", "ODE_UYC", "ODE_st", "ODE_t",
+    "Symbolic",
 ]

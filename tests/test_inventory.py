@@ -26,6 +26,8 @@ GPY_KERNELS = [
     # misc
     "MLP", "Poly", "Brownian", "Spline", "Symmetric", "SplitKern", "DEtime",
     "Integral", "Integral_Limits", "Multidimensional_Integral_Limits", "GridRBF",
+    # sympy-defined kernels (GPy: kern/src/symbolic.py)
+    "Symbolic",
 ]
 
 GPY_LIKELIHOODS = [

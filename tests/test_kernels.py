@@ -263,3 +263,44 @@ def test_splitkern():
     assert _psd(K, tol=1e-6)
     # within-domain block equals base kernel
     np.testing.assert_allclose(K[:6, :6], np.asarray(gk.RBF(1).K(jnp.asarray(x))), atol=1e-10)
+
+
+# --- Symbolic (sympy-defined) kernel (GPy: kern/src/symbolic.py) -------------
+def test_symbolic_kernel_matches_rbf_and_trains():
+    sympy = pytest.importorskip("sympy")
+    import gpy_tpu.kern as gk
+    from gpy_tpu.models import GPRegression
+
+    x, z, variance, lengthscale = sympy.symbols("x z variance lengthscale")
+    k_expr = variance * sympy.exp(-(x - z) ** 2 / (2 * lengthscale**2))
+    sk = gk.Symbolic(1, k=k_expr, parameters={"variance": 1.3, "lengthscale": 0.7})
+    rk = gk.RBF(1, variance=1.3, lengthscale=0.7)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((20, 1))
+    np.testing.assert_allclose(np.asarray(sk.K(X)), np.asarray(rk.K(X)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sk.Kdiag(X)), np.asarray(rk.Kdiag(X)), rtol=1e-10)
+    g1 = sk.gradients_X(jnp.ones((20, 20)), jnp.asarray(X))
+    g2 = rk.gradients_X(jnp.ones((20, 20)), jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
+
+    Y = np.sin(2 * X) + 0.05 * rng.standard_normal((20, 1))
+    m = GPRegression(X, Y, kernel=gk.Symbolic(1, k=k_expr))
+    assert m.checkgrad()
+    n0 = float(-m.log_likelihood())
+    m.optimize()
+    assert float(-m.log_likelihood()) < n0
+
+
+def test_symbolic_kernel_2d_and_composition():
+    sympy = pytest.importorskip("sympy")
+    import gpy_tpu.kern as gk
+
+    x0, x1, z0, z1, a = sympy.symbols("x_0 x_1 z_0 z_1 a")
+    k2 = sympy.exp(-a * ((x0 - z0) ** 2 + (x1 - z1) ** 2))
+    s2 = gk.Symbolic(2, k=k2) + gk.Bias(2, variance=0.2)
+    X2 = np.random.default_rng(2).standard_normal((15, 2))
+    K2 = np.asarray(s2.K(X2))
+    assert K2.shape == (15, 15)
+    np.testing.assert_allclose(K2, K2.T, atol=1e-12)
+    ev = np.linalg.eigvalsh(K2)
+    assert ev.min() > -1e-10
