@@ -29,8 +29,9 @@ __all__ = [
 ]
 
 # Below this size the XLA native ops win (no recursion overhead); measured
-# crossover on v5e-1 is ~2-4k. CPU tests only ever exercise the leaf path.
-REC_CHOL_MIN_N = 4096
+# crossover on v5e-1 is ~2-4k: at N=4096 blocked NLML val+grad beats native
+# by ~10ms. CPU tests only ever exercise the leaf path.
+REC_CHOL_MIN_N = 4095
 _LEAF = 1024
 
 

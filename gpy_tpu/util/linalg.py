@@ -150,7 +150,7 @@ def dtrtrs(L: jax.Array, B: jax.Array, lower: bool = True, trans: bool = False):
 
 def dpotrs(L: jax.Array, B: jax.Array):
     """Solve A x = B given chol factor L (GPy: util/linalg.py:116)."""
-    if L.ndim == 2 and B.ndim == 2 and L.shape[0] > 4096 and B.shape[-1] >= 512:
+    if L.ndim == 2 and B.ndim == 2 and L.shape[0] >= 4096 and B.shape[-1] >= 512:
         return solve_lower_auto(L, solve_lower_auto(L, B), trans=True)
     return jax.scipy.linalg.cho_solve((L, True), B)
 
