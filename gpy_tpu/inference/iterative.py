@@ -134,11 +134,19 @@ class IterativeGaussianInference(LatentFunctionInference):
     block: row-block size of the streamed Gram matvec.
     """
 
-    def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0):
+    def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0,
+                 materialize="auto", materialize_max_n=60_000):
         self.max_cg = max_cg
         self.n_probes = n_probes
         self.block = block
         self.seed = seed
+        # materialize: build the stop-gradient Gram ONCE and run the CG loop
+        # as dense matmuls (HBM-bandwidth bound) instead of re-evaluating the
+        # exp-bound blockwise Gram max_cg times — ~3x at N=50k on one chip.
+        # "auto" materializes while the f32 (N, N) fits comfortably in HBM;
+        # the differentiable surrogate pass still streams (O(block*N) memory).
+        self.materialize = materialize
+        self.materialize_max_n = materialize_max_n
         self._jit_cache = {}
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
@@ -184,10 +192,26 @@ class IterativeGaussianInference(LatentFunctionInference):
         key = jax.random.PRNGKey(self.seed)
         Z = jax.random.rademacher(key, (N, self.n_probes), dtype=X.dtype)
 
-        def mv_sg(V):
-            k_sg = kern.stop_gradient() if hasattr(kern, "stop_gradient") else kern
-            return gram_matvec(k_sg, lax.stop_gradient(X), V,
-                               noise=lax.stop_gradient(noise), block=self.block)
+        k_sg = kern.stop_gradient() if hasattr(kern, "stop_gradient") else kern
+        do_mat = (self.materialize is True
+                  or (self.materialize == "auto" and N <= self.materialize_max_n))
+        if do_mat:
+            from ..ops.gram_matvec import gram_materialize
+
+            K_sg, P = gram_materialize(k_sg, lax.stop_gradient(X),
+                                       noise=lax.stop_gradient(noise),
+                                       block=self.block)
+            K_sg = lax.stop_gradient(K_sg)
+            pad = P - N
+
+            def mv_sg(V):
+                Vp = jnp.concatenate(
+                    [V, jnp.zeros((pad, V.shape[1]), V.dtype)], 0) if pad else V
+                return (K_sg @ Vp)[:N]
+        else:
+            def mv_sg(V):
+                return gram_matvec(k_sg, lax.stop_gradient(X), V,
+                                   noise=lax.stop_gradient(noise), block=self.block)
 
         RHS = jnp.concatenate([lax.stop_gradient(YY), Z], axis=1)
         sol, alphas, betas, _ = cg_batched(mv_sg, RHS, maxiter=self.max_cg)

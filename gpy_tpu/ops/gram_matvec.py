@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["gram_matvec", "make_gram_matvec"]
+__all__ = ["gram_matvec", "make_gram_matvec", "gram_materialize"]
 
 
 def _pad_rows(X, block):
@@ -58,3 +58,36 @@ def make_gram_matvec(kern, X, noise, block=2048):
         return gram_matvec(kern, X, V, noise=noise, block=block)
 
     return mv
+
+
+def gram_materialize(kern, X, noise=None, block=2048):
+    """Materialize K(X, X) + diag(noise) in row blocks -> (N, N).
+
+    For stop-gradient CG loops that do MANY K-products (iterative exact-GP
+    inference runs max_cg of them), recomputing the Gram every iteration is
+    exp/VPU-bound (~2.5G transcendentals per matvec at N=50k). Building K
+    once turns every subsequent matvec into a pure HBM-bandwidth matmul —
+    measured ~3x on the N=50k NLML+grad. Peak transient memory stays
+    O(block * N) on top of the (N, N) result (f32 at N=50k: 10GB, which a
+    16GB v5e chip holds).
+
+    Returns the padded (P, P) matrix and row count P (P = ceil(N/block) *
+    block); padded rows/cols are zero so a zero-padded RHS is safe.
+    """
+    N = X.shape[0]
+    Xp, n_tot = _pad_rows(X, block)
+    blocks = n_tot // block
+    Xb = Xp.reshape(blocks, block, X.shape[1])
+    row_ok = (jnp.arange(n_tot) < N).astype(X.dtype)
+
+    def one_block(args):
+        xb, rb = args
+        Kb = kern.K(xb, Xp)  # (block, P)
+        return Kb * rb[:, None] * row_ok[None, :]
+
+    rows_ok_b = row_ok.reshape(blocks, block)
+    K = lax.map(one_block, (Xb, rows_ok_b)).reshape(n_tot, n_tot)
+    if noise is not None:
+        idx = jnp.arange(N)
+        K = K.at[idx, idx].add(noise)
+    return K, n_tot

@@ -84,3 +84,29 @@ def test_iterative_optimize_improves():
     # posterior predictions after optimize track the data
     mu, _ = m.predict(X[:40])
     assert np.corrcoef(mu.ravel(), np.asarray(Y)[:40, 0])[0, 1] > 0.8
+
+
+def test_materialized_matches_streamed():
+    """The materialize-once CG path must agree with the streamed path
+    (identical probes; only matmul association differs)."""
+    import jax.numpy as jnp
+    from gpy_tpu.inference.iterative import IterativeGaussianInference
+    from gpy_tpu.models import GPRegression
+
+    rng = np.random.default_rng(4)
+    N = 700
+    X = rng.random((N, 3)) * 5.0
+    Y = np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))
+    vals, grads = [], []
+    for mat in (True, False):
+        m = GPRegression(X, Y, noise_var=0.1,
+                         inference_method=IterativeGaussianInference(
+                             max_cg=64, n_probes=6, block=256, materialize=mat))
+        og = m._get_objgrad()
+        v, g = og(m.get_flat_raw())
+        vals.append(float(v))
+        grads.append(np.asarray(g))
+    assert vals[0] == pytest.approx(vals[1], rel=1e-6)
+    # CG with fixed iteration count is trajectory-sensitive to matmul
+    # association; solutions agree to solver tolerance, not machine eps
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-3, atol=1e-5)
