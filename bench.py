@@ -163,6 +163,31 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: HMC samples/s/chip (BASELINE.json metric axis) -------------
+    try:
+        signal.alarm(180)
+        from gpy_tpu.mcmc import HMC
+        from gpy_tpu.models import GPRegression
+
+        n_h = 1000
+        Xh = rng.random((n_h, 2)).astype(np.float32) * 4.0
+        Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
+        mh = GPRegression(Xh, Yh, noise_var=0.1)
+        hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
+        n_s = 200
+        print("bench: hmc extra...", file=sys.stderr, flush=True)
+        hmc.sample(num_samples=n_s, seed=0)  # compile + run (fetches samples)
+        best_h = float("inf")
+        for s in range(1, 3):
+            t0 = time.perf_counter()
+            hmc.sample(num_samples=n_s, seed=s)  # fresh seed: no value cache
+            best_h = min(best_h, time.perf_counter() - t0)
+        extra["hmc_samples_per_s_n1000"] = round(n_s / best_h, 1)
+    except Exception as e:  # pragma: no cover
+        extra["hmc_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     out = {
         "metric": "svgp_elbo_steps_per_s",
         "value": round(steps_per_s, 3),

@@ -244,21 +244,33 @@ class Model(Module):
 
         opt = {"adam": optax.adam, "adagrad": optax.adagrad, "rmsprop": optax.rmsprop,
                "adadelta": optax.adadelta, "rprop": optax.rprop}[optimizer](step_size)
-        objgrad = self._get_objgrad()
 
-        @jax.jit
-        def step(x, state):
+        def step(carry, _):
+            x, state = carry
             v, g = jax.value_and_grad(self._flat_objective)(x)
             updates, state = opt.update(g, state, x)
-            return optax.apply_updates(x, updates), state, v
+            return (optax.apply_updates(x, updates), state), v
+
+        # run whole chunks on device under one lax.scan — a per-step host
+        # loop costs one dispatch round trip per iteration (~tens of ms
+        # through a remote-device tunnel), dwarfing the step itself
+        CHUNK = min(max_iters, 100)
+
+        @jax.jit
+        def run_chunk(carry):
+            return jax.lax.scan(step, carry, None, length=CHUNK)
 
         x = self.get_flat_raw()
-        state = opt.init(x)
+        carry = (x, opt.init(x))
+        done = 0
         v = jnp.inf
-        for i in range(max_iters):
-            x, state, v = step(x, state)
-            if messages and i % 100 == 0:
-                print(f"  iter {i:5d}  obj {float(v):.6f}")
+        while done < max_iters:
+            carry, vs = run_chunk(carry)
+            done += CHUNK
+            v = vs[min(CHUNK, max_iters - (done - CHUNK)) - 1]
+            if messages:
+                print(f"  iter {min(done, max_iters):5d}  obj {float(v):.6f}")
+        x, _ = carry
         self.set_flat_raw(x)
         return OptimizationResult(np.asarray(x), float(v), f"{optimizer} finished", max_iters, True)
 
