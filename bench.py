@@ -174,15 +174,16 @@ def main():
         Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
         mh = GPRegression(Xh, Yh, noise_var=0.1)
         hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
-        n_s = 200
+        n_s, n_c = 200, 8  # 8 vmapped chains batch the per-leapfrog chol
+        # (32 chains crashed the TPU worker on this host — stay at 8)
         print("bench: hmc extra...", file=sys.stderr, flush=True)
-        hmc.sample(num_samples=n_s, seed=0)  # compile + run (fetches samples)
+        hmc.sample(num_samples=n_s, num_chains=n_c, seed=0)  # compile + run
         best_h = float("inf")
         for s in range(1, 3):
             t0 = time.perf_counter()
-            hmc.sample(num_samples=n_s, seed=s)  # fresh seed: no value cache
+            hmc.sample(num_samples=n_s, num_chains=n_c, seed=s)  # fresh seed
             best_h = min(best_h, time.perf_counter() - t0)
-        extra["hmc_samples_per_s_n1000"] = round(n_s / best_h, 1)
+        extra["hmc_samples_per_s_n1000_8chains"] = round(n_s * n_c / best_h, 1)
     except Exception as e:  # pragma: no cover
         extra["hmc_error"] = str(e)[:100]
     finally:
