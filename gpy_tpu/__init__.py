@@ -20,8 +20,22 @@ __version__ = "0.1.0"
 
 __all__ = [
     "kern", "likelihoods", "inference", "models", "mappings", "util", "priors",
+    "plotting", "examples", "mcmc", "parallel",
     "Model", "Module", "Param", "GP",
 ]
+
+
+def __getattr__(name):
+    # plotting (matplotlib import) and examples are heavy — load lazily,
+    # but keep them on the public surface as GPy does (GPy/__init__.py
+    # imports plotting eagerly when matplotlib is present)
+    if name in ("plotting", "examples", "mcmc", "parallel"):
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def load(path):
