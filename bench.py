@@ -163,6 +163,32 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: SVGP at N=10M on one chip (BASELINE config #4 scale axis;
+    # dataset is passed to the compiled chunk as an argument, never a
+    # captured constant) ----------------------------------------------------
+    try:
+        signal.alarm(300)
+        print("bench: svgp 10M extra...", file=sys.stderr, flush=True)
+        N10 = 10_000_000
+        X10 = rng.random((N10, D), dtype=np.float32) * 4.0
+        Y10 = (np.sin(X10[:, :1]) + 0.1 * rng.standard_normal((N10, 1))).astype(np.float32)
+        Z10 = X10[rng.permutation(N10)[:M]].copy()
+        m10 = SVGP(X10, Y10, Z10, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
+        m10.fit(iters=steps, batchsize=B)
+        m10.fit(iters=steps, batchsize=B)
+        best10 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m10.fit(iters=steps, batchsize=B)
+            jax.block_until_ready(m10.get_flat_raw())
+            best10 = min(best10, time.perf_counter() - t0)
+        extra["svgp_steps_per_s_n10M"] = round(steps / best10, 1)
+        del m10, X10, Y10, Z10
+    except Exception as e:  # pragma: no cover
+        extra["svgp10M_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     # --- extra: HMC samples/s/chip (BASELINE.json metric axis) -------------
     try:
         signal.alarm(180)

@@ -132,11 +132,15 @@ class SVGP(SparseGP):
         full_batch = batchsize >= self.num_data
         eye = jnp.eye(M, dtype=S0.dtype)
 
-        def _batch(key):
+        def _batch(key, Xd, Yd):
+            # Xd/Yd are threaded through as jit ARGUMENTS: closing over the
+            # dataset bakes it into the program as a constant, which both
+            # bloats the executable and overflows remote-compile payload
+            # limits at large N (e.g. 10M rows = 320MB)
             if full_batch:
-                return X_all, Y_all
+                return Xd, Yd
             idx = jax.random.randint(key, (batchsize,), 0, self.num_data)
-            return X_all[idx], Y_all[idx]
+            return Xd[idx], Yd[idx]
 
         def _adam_on_hypers(hypers, g_h, opt_state):
             neg_gh = jax.tree_util.tree_map(lambda g: -g, g_h)
@@ -158,9 +162,9 @@ class SVGP(SparseGP):
             )
             return datafit - kl + model.log_prior()
 
-        def natgrad_step(carry, key):
+        def natgrad_step(carry, key, Xd, Yd):
             hypers, q_mean, S, Si, logdetS, opt_state = carry
-            Xb, Yb = _batch(key)
+            Xb, Yb = _batch(key, Xd, Yd)
             val, grads = jax.value_and_grad(elbo_S, argnums=(0, 1, 2))(
                 hypers, q_mean, S, logdetS, Xb, Yb)
             g_h, g_m, g_S = grads
@@ -199,9 +203,9 @@ class SVGP(SparseGP):
             )
             return datafit - kl + model.log_prior()
 
-        def plain_step(carry, key):
+        def plain_step(carry, key, Xd, Yd):
             hypers, q_mean, S, Si, logdetS, opt_state = carry
-            Xb, Yb = _batch(key)
+            Xb, Yb = _batch(key, Xd, Yd)
             val, grads = jax.value_and_grad(elbo_L, argnums=(0, 1, 2))(
                 hypers, q_mean, S, Xb, Yb)
             g_h, g_m, g_S = grads
@@ -217,8 +221,8 @@ class SVGP(SparseGP):
         # is reused across fit() calls (cache keyed on config below)
         CHUNK = min(iters, 100)
 
-        def run_chunk(carry, keys):
-            return jax.lax.scan(step, carry, keys)
+        def run_chunk(carry, keys, Xd, Yd):
+            return jax.lax.scan(lambda c, k: step(c, k, Xd, Yd), carry, keys)
 
         cache_key = (CHUNK, batchsize, use_natgrad, float(step_size), float(natgrad_step_size),
                      self._data_version(), self.structure_version())
@@ -242,7 +246,7 @@ class SVGP(SparseGP):
         while done < iters:
             sub = jax.random.fold_in(master, ci)
             keys = jax.random.split(sub, CHUNK)
-            carry, tr = run_chunk_j(carry, keys)
+            carry, tr = run_chunk_j(carry, keys, X_all, Y_all)
             take = min(CHUNK, iters - done)
             traces.append(tr[:take])
             done += take
