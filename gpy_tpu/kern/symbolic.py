@@ -65,7 +65,18 @@ class Symbolic(Kern):
             self._add_param(s.name, float(parameters.get(s.name, 1.0)), transform=tr)
         self.__dict__["_param_names"] = [s.name for s in param_syms]
         self.__dict__["_sym_k"] = k
+        self._rebuild_after_load()
 
+    def _rebuild_after_load(self):
+        """(Re)lambdify from the stored expression — also the serialization
+        hook (the compiled callables are skipped by to_dict and rebuilt
+        here on from_dict)."""
+        import sympy
+
+        k = self._sym_k
+        x_syms = [sympy.Symbol(f"x_{i}") for i in range(self.input_dim)]
+        z_syms = [sympy.Symbol(f"z_{i}") for i in range(self.input_dim)]
+        param_syms = [sympy.Symbol(n) for n in self._param_names]
         # one lambdified callable for K; kdiag is K with z := x
         kdiag = k.subs(dict(zip(z_syms, x_syms)))
         args = x_syms + z_syms + param_syms

@@ -25,7 +25,8 @@ from ..core.priors import Prior
 
 __all__ = ["to_dict", "from_dict", "save_model", "load_model"]
 
-_SKIP_KEYS = {"_objgrad_cache", "_posterior_cache", "_batch_start"}
+_SKIP_KEYS = {"_objgrad_cache", "_posterior_cache", "_batch_start",
+              "_k_fn", "_kdiag_fn"}  # lambdified callables: rebuilt on load
 
 
 def _classpath(obj) -> str:
@@ -70,6 +71,10 @@ def _enc(x: Any) -> Any:
         return x
     if isinstance(x, slice):
         return {"__slice__": [x.start, x.stop, x.step]}
+    if type(x).__module__.split(".")[0] == "sympy":
+        import sympy
+
+        return {"__sympy__": sympy.srepr(x)}
     # objects with plain __dict__ (inference methods, normalizers, ...)
     if hasattr(x, "__dict__") and type(x).__module__.startswith("gpy_tpu"):
         return {"__obj__": _classpath(x), "dict": {k: _enc(v) for k, v in x.__dict__.items() if k not in _SKIP_KEYS}}
@@ -82,6 +87,9 @@ def _dec(x: Any) -> Any:
             cls = _resolve(x["__module__"])
             obj = object.__new__(cls)
             obj.__dict__.update({k: _dec(v) for k, v in x["dict"].items()})
+            rebuild = getattr(obj, "_rebuild_after_load", None)
+            if rebuild is not None:
+                rebuild()
             return obj
         if "__paramspec__" in x:
             return ParamSpec(_dec(x["transform"]), _dec(x["prior"]), x["fixed"])
@@ -99,6 +107,10 @@ def _dec(x: Any) -> Any:
             return tuple(seq) if x["tuple"] else seq
         if "__slice__" in x:
             return slice(*x["__slice__"])
+        if "__sympy__" in x:
+            import sympy
+
+            return sympy.sympify(x["__sympy__"])
     return x
 
 

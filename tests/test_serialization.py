@@ -97,3 +97,14 @@ def test_gpy_load_alias(tmp_path):
     p = save_model(m, str(tmp_path / "m.json.gz"))
     m2 = gpy_tpu.load(p)
     assert isinstance(m2, GPRegression)
+
+
+def test_symbolic_kernel_roundtrip():
+    sympy = pytest.importorskip("sympy")
+    import gpy_tpu.kern as gk
+
+    x, z, v = sympy.symbols("x z v")
+    k = gk.Symbolic(1, k=v * sympy.exp(-(x - z) ** 2), parameters={"v": 1.5})
+    k2 = from_dict(to_dict(k))
+    X = np.random.default_rng(0).standard_normal((10, 1))
+    np.testing.assert_allclose(np.asarray(k2.K(X)), np.asarray(k.K(X)), rtol=1e-12)
