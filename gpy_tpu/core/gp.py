@@ -265,16 +265,19 @@ class GP(Model):
         opt = optax.adam(lr)
         state = opt.init(X0)
 
-        @jax.jit
-        def step(Xs, state):
+        def step(carry, _):
+            Xs, state = carry
             val, g = jax.value_and_grad(neg_logp)(Xs)
             updates, state = opt.update(g, state, Xs)
-            return optax.apply_updates(Xs, updates), state, val
+            return (optax.apply_updates(Xs, updates), state), val
 
-        Xs = X0
-        for _ in range(optimize_iters):
-            Xs, state, val = step(Xs, state)
-        return np.asarray(Xs), -float(val)
+        # whole ascent as one scan — a per-step host loop is dispatch-bound
+        @jax.jit
+        def run(X0, state):
+            return jax.lax.scan(step, (X0, state), None, length=optimize_iters)
+
+        (Xs, _), vals = run(X0, state)
+        return np.asarray(Xs), -float(vals[-1])
 
     def posterior_covariance_between_points(self, X1, X2, kern=None):
         """GPy: gp.py:735-786."""
