@@ -225,17 +225,20 @@ class BayesianGPLVM(SparseGP):
         opt = optax.adam(1e-2)
         state = opt.init((mu0, rawS0))
 
-        @jax.jit
-        def step(params, state):
+        def step(carry, _):
+            params, state = carry
             val, g = jax.value_and_grad(lambda p: neg_bound(*p))(params)
             updates, state = opt.update(g, state, params)
-            return optax.apply_updates(params, updates), state, val
+            return (optax.apply_updates(params, updates), state), val
 
-        params = (mu0, rawS0)
-        for _ in range(optimize_iters):
-            params, state, val = step(params, state)
+        @jax.jit
+        def run(params, state):
+            # one scan — a per-step host loop is dispatch-bound
+            return jax.lax.scan(step, (params, state), None, length=optimize_iters)
+
+        (params, _), vals = run((mu0, rawS0), state)
         qX = NormalPosterior(np.asarray(params[0]), np.log1p(np.exp(np.asarray(params[1]))))
-        return qX, -float(val)
+        return qX, -float(vals[-1])
 
 
 class DPBayesianGPLVM(BayesianGPLVM):
