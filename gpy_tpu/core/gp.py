@@ -315,7 +315,17 @@ class GP(Model):
 
     def optimize(self, optimizer="lbfgsb", **kwargs):
         self.inference_method.on_optimization_start()
+        if getattr(self.inference_method, "_frozen", False):
+            # alternated EP: converge sites once, eagerly, at the current
+            # hypers; the optimization objective then holds them fixed.
+            # The jitted objective must be rebuilt around the new constants.
+            self.__dict__["_posterior_cache"] = None
+            _ = self.posterior
+            self.__dict__["_objgrad_cache"] = None
         try:
             return super().optimize(optimizer=optimizer, **kwargs)
         finally:
             self.inference_method.on_optimization_end()
+            if getattr(self.inference_method, "ep_mode", None) == "alternated":
+                self.__dict__["_objgrad_cache"] = None
+                self.__dict__["_posterior_cache"] = None

@@ -45,12 +45,34 @@ def _posterior_from_sites(K, tau, v):
 
 class EP(LatentFunctionInference):
     def __init__(self, epsilon: float = 1e-6, eta: float = 1.0, delta: float = 0.8,
-                 max_iters: int = 60, parallel_updates: bool = True):
-        """eta: power-EP fraction; delta: damping factor on site updates."""
+                 max_iters: int = 60, parallel_updates: bool = True,
+                 ep_mode: str = "nested"):
+        """eta: power-EP fraction; delta: damping factor on site updates.
+
+        ep_mode (GPy: expectation_propagation.py:188-213): "nested" re-runs
+        the site convergence inside every objective evaluation; "alternated"
+        converges sites once when optimization starts and holds them fixed
+        (the reference's DEFAULT, for cost reasons). Parallel-damped EP makes
+        nested affordable on TPU, so nested is OUR default; alternated skips
+        the in-trace while_loop entirely — the sites enter the jitted loss
+        as constants and only the cheap fixed-site evidence is re-traced.
+        """
+        assert ep_mode in ("nested", "alternated")
         self.epsilon = epsilon
         self.eta = eta
         self.delta = delta
+        self.ep_mode = ep_mode
+        self._frozen = False
+        self._site_cache = None  # (N, tau, v) as host arrays
         self.max_iters = max_iters
+
+    # --- alternated-mode hooks (GPy: latent_function_inference/__init__.py
+    # on_optimization_start/end) --------------------------------------------
+    def on_optimization_start(self):
+        self._frozen = self.ep_mode == "alternated"
+
+    def on_optimization_end(self):
+        self._frozen = False
 
     # --- EP site convergence (no gradients) --------------------------------
     def _converge_sites(self, K, likelihood, Y, Y_metadata):
@@ -116,7 +138,17 @@ class EP(LatentFunctionInference):
         assert D == 1, "EP inference supports single-output models (as GPy)"
         assert mean_function is None, "EP with explicit mean function not yet supported"
         K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
-        tau, v = self._converge_sites(K, likelihood, Y, Y_metadata)
+        cache = self._site_cache
+        if self._frozen and cache is not None and cache[0] == N:
+            # alternated mode mid-optimization: sites are constants
+            tau = jnp.asarray(cache[1], dtype=K.dtype)
+            v = jnp.asarray(cache[2], dtype=K.dtype)
+        else:
+            tau, v = self._converge_sites(K, likelihood, Y, Y_metadata)
+            import jax.core as _jcore
+
+            if not isinstance(tau, _jcore.Tracer):  # eager call: persist sites
+                self.__dict__["_site_cache"] = (N, np.asarray(tau), np.asarray(v))
         log_marginal = self._log_marginal(K, likelihood, Y, Y_metadata, tau, v)
         # posterior container: woodbury form with S~^{1/2} B^{-1} S~^{1/2}
         sT = jnp.sqrt(jnp.maximum(tau, 1e-300))[:, None]

@@ -220,3 +220,31 @@ def test_laplace_block_coupled_likelihood():
     fhat = np.linalg.solve(H, yv)
     logZ = 0.5 * float((yv.T @ fhat)[0, 0]) - 0.5 * np.linalg.slogdet(np.eye(n) + K @ P)[1]
     assert float(lml) == pytest.approx(logZ, rel=1e-5, abs=1e-5)
+
+
+def test_ep_alternated_mode():
+    """GPy's default ep_mode='alternated' (expectation_propagation.py:188-213):
+    sites converge once per optimize() call and are held fixed while the
+    hyperparameters move. Re-running optimize re-converges the sites; the
+    final objective must be close to the nested-mode optimum."""
+    from gpy_tpu.core.gp import GP
+    import gpy_tpu.kern as gk
+
+    X, Y = _banana(60)
+    m_alt = GP(X, Y, gk.RBF(2), Bernoulli(),
+               inference_method=EP(ep_mode="alternated"), name="alt")
+    m_nest = GP(X, Y, gk.RBF(2), Bernoulli(),
+                inference_method=EP(ep_mode="nested"), name="nest")
+    f0 = float(m_alt.objective_function())
+    for _ in range(3):  # the GPy pattern: alternate EP <-> hyper steps
+        m_alt.optimize(max_iters=40)
+    f1 = float(m_alt.objective_function())
+    assert f1 < f0
+    m_nest.optimize(max_iters=120)
+    f_nest = float(m_nest.objective_function())
+    assert abs(f1 - f_nest) < 0.05 * abs(f_nest) + 1.0
+    # predictions agree between the two modes at their optima
+    Xs = rng.standard_normal((6, 2))
+    p1, _ = m_alt.predict(Xs)
+    p2, _ = m_nest.predict(Xs)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=0.1)
