@@ -258,3 +258,86 @@ def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
         return -(L + m.log_prior())
 
     return jax.jit(jax.value_and_grad(nlml))
+
+
+def sharded_vardtc_nlml_grad(model, mesh: Mesh, X=None, Y=None, weights=None,
+                             axis_name: str = "data"):
+    """Collapsed VarDTC bound + gradients with row-sharded psi statistics.
+
+    The TPU replacement of the reference's distributed sparse-GP path
+    (GPy var_dtc_parallel.py gatherPsiStat:72-133 — MPI Allreduce of
+    {psi0, psi1Y, psi2, YRY} — and update_gradients:337-424 — Allreduce of
+    the gradient vector; driven by core/sparse_gp_mpi.py). Here the local
+    per-shard statistics are `psum`'d over the mesh, the M x M algebra runs
+    replicated on every device, and the backward pass of those psums IS the
+    gradient Allreduce (shard_map auto-reduces cotangents of replicated
+    parameters).
+
+    model: a SparseGP with Gaussian likelihood (SparseGPRegression).
+    X, Y: full arrays with rows divisible by the mesh size (see
+    pad_rows_to_multiple); default the model's own data. weights: 0/1 row
+    mask for padding. Returns (log_marginal, grad_raw_dict); the value
+    equals the serial VarDTC inference exactly.
+    """
+    import jax.scipy.linalg as jsl
+    from jax import shard_map
+
+    if X is None:
+        X, Y, weights = pad_rows_to_multiple(
+            np.asarray(model.X), np.asarray(model.Y_normalized), mesh.devices.size)
+    n_dev = mesh.devices.size
+    N = X.shape[0]
+    assert N % n_dev == 0, "pad rows to a multiple of the mesh size"
+    if weights is None:
+        weights = jnp.ones((N,), dtype=jnp.asarray(X).dtype)
+    raw = model.get_raw_dict(free_only=True)
+    D = Y.shape[1]
+    LOG_2_PI = float(np.log(2.0 * np.pi))
+    CONST_JITTER = 1e-6
+
+    def nlml_fn(raw_dict, Xs, Ys, ws):
+        m = model.with_raw_dict(raw_dict)
+        Z = jnp.asarray(m.Z)
+        M = Z.shape[0]
+        Wn = ws / jnp.asarray(m.likelihood.variance)  # masked per-row precision
+        # --- local psi statistics (this shard's rows) --------------------
+        Kmn = m.kern.K(Z, Xs)                      # (M, n_loc)
+        Psi2W_loc = (Kmn * Wn[None, :]) @ Kmn.T    # sum_n W_n k_n k_n'
+        psi1WY_loc = Kmn @ (Wn[:, None] * Ys)      # (M, D)
+        psi0_loc = jnp.sum(Wn * m.kern.Kdiag(Xs))
+        YWY_loc = jnp.sum(Wn[:, None] * Ys * Ys)
+        logW_loc = jnp.sum(ws * jnp.log(jnp.maximum(Wn, 1e-300)) * jnp.where(ws > 0, 1.0, 0.0))
+        N_loc = jnp.sum(ws)
+        # --- the Allreduce (gatherPsiStat) --------------------------------
+        Psi2W = jax.lax.psum(Psi2W_loc, axis_name)
+        psi1WY = jax.lax.psum(psi1WY_loc, axis_name)
+        psi0_sum = jax.lax.psum(psi0_loc, axis_name)
+        YWY = jax.lax.psum(YWY_loc, axis_name)
+        logW = jax.lax.psum(logW_loc, axis_name)
+        N_eff = jax.lax.psum(N_loc, axis_name)
+        # --- replicated M x M algebra (identical on every device) ---------
+        Kmm = m.kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+        L = jnp.linalg.cholesky(Kmm)
+        tmp = jsl.solve_triangular(L, Psi2W, lower=True)
+        AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
+        AAT = 0.5 * (AAT + AAT.T)
+        LB = jnp.linalg.cholesky(jnp.eye(M, dtype=Z.dtype) + AAT)
+        c = jsl.solve_triangular(LB, jsl.solve_triangular(L, psi1WY, lower=True), lower=True)
+        log_marginal = (
+            -0.5 * N_eff * D * LOG_2_PI
+            + 0.5 * D * logW
+            - D * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            - 0.5 * YWY
+            + 0.5 * jnp.sum(c * c)
+            - 0.5 * D * (psi0_sum - jnp.trace(AAT))
+        )
+        return log_marginal + m.log_prior()
+
+    smapped = shard_map(
+        jax.value_and_grad(nlml_fn),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+    )
+    val, grads = jax.jit(smapped)(raw, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(weights))
+    return val, grads

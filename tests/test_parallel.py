@@ -114,3 +114,30 @@ def test_sharded_iterative_nlml_matches_single_device():
     v2, g2 = fn(m.get_flat_raw())
     assert float(v2) == pytest.approx(float(v1), rel=1e-6)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4)
+
+
+def test_sharded_vardtc_matches_serial():
+    """Row-sharded psi-stat VarDTC == serial VarDTC (value AND gradients) —
+    the invariant GPy's manual mpi_test__.py checks for its MPI path."""
+    import jax.numpy as jnp
+    from gpy_tpu.models import SparseGPRegression
+    from gpy_tpu.parallel import make_mesh, sharded_vardtc_nlml_grad
+
+    rng = np.random.default_rng(7)
+    N, M, D = 83, 9, 2   # N deliberately NOT divisible by 8 (padding path)
+    X = rng.random((N, 3)) * 5.0
+    Y = np.concatenate([np.sin(X[:, :1]), np.cos(X[:, :1])], 1) + 0.1 * rng.standard_normal((N, D))
+    Z = X[:M].copy()
+    m = SparseGPRegression(X, Y, num_inducing=M, Z=Z)
+    serial = float(m.log_likelihood())
+    g_serial = m.get_raw_dict(free_only=True)
+    _, g_serial = jax.value_and_grad(
+        lambda rd: m.with_raw_dict(rd).log_likelihood() + m.with_raw_dict(rd).log_prior()
+    )(m.get_raw_dict(free_only=True))
+
+    mesh = make_mesh(8)
+    val, grads = sharded_vardtc_nlml_grad(m, mesh)
+    assert float(val) == pytest.approx(serial, rel=1e-9, abs=1e-8)
+    for k in g_serial:
+        np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(g_serial[k]),
+                                   rtol=1e-7, atol=1e-9, err_msg=k)
