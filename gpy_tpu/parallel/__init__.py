@@ -341,3 +341,106 @@ def sharded_vardtc_nlml_grad(model, mesh: Mesh, X=None, Y=None, weights=None,
     )
     val, grads = jax.jit(smapped)(raw, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(weights))
     return val, grads
+
+
+def sharded_bgplvm_nlml_grad(model, mesh: Mesh, axis_name: str = "data"):
+    """Bayesian-GPLVM ELBO + gradients with the variational latent rows
+    sharded over the mesh — the reference's flagship distributed workload
+    (GPy BayesianGPLVM(mpi_comm=...) -> core/sparse_gp_mpi.py + the
+    var_dtc_parallel.py psi-stat Allreduce).
+
+    The q(X) means/variances are row-indexed PARAMETERS: their shards stay
+    resident per device (gradient shards come back per device row block),
+    while kernel/Z/noise parameters are replicated and their gradients are
+    Allreduce'd by shard_map's cotangent psum. Returns
+    (elbo, grads) with grads a dict over the model's free raw parameters
+    (qX.* entries are full (N, Q) arrays reassembled from the shards).
+    """
+    import jax.scipy.linalg as jsl
+    from jax import shard_map
+
+    n_dev = mesh.devices.size
+    raw = model.get_raw_dict(free_only=True)
+    sharded_keys = {k for k in raw if k.startswith("qX.")}
+    N = int(np.asarray(raw["qX.mean"]).shape[0])
+    n_pad = (-N) % n_dev
+    D = model.Y_normalized.shape[1]
+    LOG_2_PI = float(np.log(2.0 * np.pi))
+    CONST_JITTER = 1e-6
+
+    Y = np.asarray(model.Y_normalized)
+    w = np.ones(N + n_pad, dtype=Y.dtype)
+    if n_pad:
+        Y = np.concatenate([Y, np.zeros((n_pad, D), Y.dtype)], 0)
+        w[N:] = 0.0
+        raw = dict(raw)
+        for k in sharded_keys:
+            a = np.asarray(raw[k])
+            raw[k] = np.concatenate([a, np.zeros((n_pad, a.shape[1]), a.dtype)], 0)
+
+    from ..core.variational import NormalPosterior
+    from ..core.transformations import Logexp
+
+    def elbo_fn(raw_dict, Ys, ws):
+        # subset update: replicated params only (qX rows are used locally)
+        m = model.with_raw_dict({k: v for k, v in raw_dict.items() if k not in sharded_keys})
+        # local q(X) rows from the sharded raw leaves
+        mu_loc = raw_dict["qX.mean"]
+        S_loc = Logexp().forward(raw_dict["qX.variance"])
+        Z = jnp.asarray(m.Z)
+        M = Z.shape[0]
+
+        class _QX:  # duck-typed NormalPosterior view of the local shard
+            mean = mu_loc
+            variance = S_loc
+
+        Wn = ws / jnp.asarray(m.likelihood.variance)
+        psi1 = m.kern.psi1(Z, _QX)                      # (n_loc, M)
+        psi2n = m.kern.psi2n(Z, _QX)                    # (n_loc, M, M)
+        Psi2W_loc = jnp.einsum("n,nmk->mk", Wn, psi2n)
+        psi1WY_loc = psi1.T @ (Wn[:, None] * Ys)
+        psi0_loc = jnp.sum(Wn * m.kern.psi0(Z, _QX))
+        YWY_loc = jnp.sum(Wn[:, None] * Ys * Ys)
+        logW_loc = jnp.sum(ws * jnp.log(jnp.maximum(Wn, 1e-300)))
+        N_loc = jnp.sum(ws)
+        kl_loc = 0.5 * jnp.sum(ws[:, None] * (mu_loc**2 + S_loc - jnp.log(S_loc) - 1.0))
+        # === the MPI Allreduce of {psi0, psi1Y, psi2, YRY} ===
+        Psi2W = jax.lax.psum(Psi2W_loc, axis_name)
+        psi1WY = jax.lax.psum(psi1WY_loc, axis_name)
+        psi0_sum = jax.lax.psum(psi0_loc, axis_name)
+        YWY = jax.lax.psum(YWY_loc, axis_name)
+        logW = jax.lax.psum(logW_loc, axis_name)
+        N_eff = jax.lax.psum(N_loc, axis_name)
+        kl = jax.lax.psum(kl_loc, axis_name)
+        # replicated M x M algebra
+        Kmm = m.kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+        L = jnp.linalg.cholesky(Kmm)
+        tmp = jsl.solve_triangular(L, Psi2W, lower=True)
+        AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
+        AAT = 0.5 * (AAT + AAT.T)
+        LB = jnp.linalg.cholesky(jnp.eye(M, dtype=Z.dtype) + AAT)
+        c = jsl.solve_triangular(LB, jsl.solve_triangular(L, psi1WY, lower=True), lower=True)
+        bound = (
+            -0.5 * N_eff * D * LOG_2_PI
+            + 0.5 * D * logW
+            - D * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            - 0.5 * YWY
+            + 0.5 * jnp.sum(c * c)
+            - 0.5 * D * (psi0_sum - jnp.trace(AAT))
+        )
+        return bound - kl + m.log_prior()
+
+    specs = {k: (P(axis_name) if k in sharded_keys else P()) for k in raw}
+    smapped = shard_map(
+        jax.value_and_grad(elbo_fn),
+        mesh=mesh,
+        in_specs=(specs, P(axis_name), P(axis_name)),
+        out_specs=(P(), specs),
+    )
+    val, grads = jax.jit(smapped)(
+        {k: jnp.asarray(v) for k, v in raw.items()}, jnp.asarray(Y), jnp.asarray(w))
+    if n_pad:
+        grads = dict(grads)
+        for k in sharded_keys:
+            grads[k] = grads[k][:N]
+    return val, grads

@@ -141,3 +141,27 @@ def test_sharded_vardtc_matches_serial():
     for k in g_serial:
         np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(g_serial[k]),
                                    rtol=1e-7, atol=1e-9, err_msg=k)
+
+
+def test_sharded_bgplvm_matches_serial():
+    """qX-row-sharded BGPLVM bound == serial (value AND all gradients,
+    including the sharded qX gradients reassembled across devices)."""
+    import jax.numpy as jnp
+    from gpy_tpu.models import BayesianGPLVM
+    from gpy_tpu.parallel import make_mesh, sharded_bgplvm_nlml_grad
+
+    rng = np.random.default_rng(8)
+    N, Dy, Q, M = 43, 4, 3, 7   # N not divisible by 8: padding path
+    Y = rng.standard_normal((N, 2)) @ rng.standard_normal((2, Dy)) + 0.1 * rng.standard_normal((N, Dy))
+    m = BayesianGPLVM(Y, Q, num_inducing=M)
+    serial = float(m.log_likelihood())
+    _, g_serial = jax.value_and_grad(
+        lambda rd: m.with_raw_dict(rd).log_likelihood() + m.with_raw_dict(rd).log_prior()
+    )(m.get_raw_dict(free_only=True))
+
+    mesh = make_mesh(8)
+    val, grads = sharded_bgplvm_nlml_grad(m, mesh)
+    assert float(val) == pytest.approx(serial, rel=1e-9, abs=1e-7)
+    for k, gs in g_serial.items():
+        np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(gs),
+                                   rtol=1e-6, atol=1e-8, err_msg=k)
