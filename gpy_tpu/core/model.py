@@ -13,6 +13,7 @@ compiled objective; an optax path (`optimizer='adam'`) runs fully on-device.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -256,20 +257,21 @@ class Model(Module):
         # through a remote-device tunnel), dwarfing the step itself
         CHUNK = min(max_iters, 100)
 
-        @jax.jit
-        def run_chunk(carry):
-            return jax.lax.scan(step, carry, None, length=CHUNK)
+        @partial(jax.jit, static_argnames="length")
+        def run_chunk(carry, length):
+            return jax.lax.scan(step, carry, None, length=length)
 
         x = self.get_flat_raw()
         carry = (x, opt.init(x))
         done = 0
         v = jnp.inf
         while done < max_iters:
-            carry, vs = run_chunk(carry)
-            done += CHUNK
-            v = vs[min(CHUNK, max_iters - (done - CHUNK)) - 1]
+            take = min(CHUNK, max_iters - done)  # exact: never overshoot
+            carry, vs = run_chunk(carry, take)
+            done += take
+            v = vs[-1]
             if messages:
-                print(f"  iter {min(done, max_iters):5d}  obj {float(v):.6f}")
+                print(f"  iter {done:5d}  obj {float(v):.6f}")
         x, _ = carry
         self.set_flat_raw(x)
         return OptimizationResult(np.asarray(x), float(v), f"{optimizer} finished", max_iters, True)

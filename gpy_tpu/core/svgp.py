@@ -244,11 +244,12 @@ class SVGP(SparseGP):
         done = 0
         ci = 0
         while done < iters:
+            take = min(CHUNK, iters - done)  # exact: a short tail chunk
+            # compiles its own (smaller) executable instead of overshooting
             sub = jax.random.fold_in(master, ci)
-            keys = jax.random.split(sub, CHUNK)
+            keys = jax.random.split(sub, take)
             carry, tr = run_chunk_j(carry, keys, X_all, Y_all)
-            take = min(CHUNK, iters - done)
-            traces.append(tr[:take])
+            traces.append(tr)
             done += take
             ci += 1
         hypers, q_mean, S, _, _, _ = carry

@@ -69,6 +69,11 @@ class EP(LatentFunctionInference):
     # --- alternated-mode hooks (GPy: latent_function_inference/__init__.py
     # on_optimization_start/end) --------------------------------------------
     def on_optimization_start(self):
+        # drop any previously frozen sites so the eager refresh at the top
+        # of optimize() re-converges them at the CURRENT hyperparameters
+        # (otherwise repeated optimize() calls would alternate against
+        # sites stale from the previous call)
+        self.__dict__["_site_cache"] = None
         self._frozen = self.ep_mode == "alternated"
 
     def on_optimization_end(self):

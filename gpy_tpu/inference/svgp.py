@@ -112,8 +112,6 @@ def svgp_elbo_parts_S(kern, X, Z, likelihood, Y, q_u_mean, S, logdet_S,
 
     S: (D, M, M) symmetric PD; logdet_S: scalar, sum over outputs.
     """
-    import jax
-
     M = Z.shape[0]
     D = Y.shape[1]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)

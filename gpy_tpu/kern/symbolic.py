@@ -49,6 +49,10 @@ class Symbolic(Kern):
         if input_dim == 1:
             # accept the x/z shorthand by renaming to x_0/z_0
             k = k.subs({sympy.Symbol("x"): x_syms[0], sympy.Symbol("z"): z_syms[0]})
+        elif any(s.name in ("x", "z") for s in k.free_symbols):
+            raise ValueError(
+                "with input_dim > 1 use x_0..x_{Q-1} / z_0..z_{Q-1}; bare "
+                "'x'/'z' would silently become trainable parameters")
         del x_names
 
         io_names = {s.name for s in x_syms} | {s.name for s in z_syms}

@@ -36,15 +36,20 @@ def pivoted_cholesky(kern, X, rank: int, jitter: float = 1e-8):
     dt = X.dtype
     d0 = kern.Kdiag(X) + jitter
 
+    tol = 1e-12 * jnp.max(d0)  # rank-exhaustion guard (relative)
+
     def step(carry, i):
         L, d = carry
         p = jnp.argmax(d)
         col = kern.K(X, X[p][None, :])[:, 0]  # (N,)
         Lp = L[p]  # (rank,)
         resid = col - L @ Lp
-        dp = jnp.maximum(d[p], 1e-30)
-        l = resid / jnp.sqrt(dp)
-        # exact zero at the pivot rowcol bookkeeping: d_p must go to 0
+        dp = d[p]
+        # once the residual diagonal is numerically exhausted, further
+        # columns would be roundoff / sqrt(~0) garbage — emit zeros instead
+        # (the factorization is already exact at that point)
+        ok = dp > tol
+        l = jnp.where(ok, resid / jnp.sqrt(jnp.where(ok, dp, 1.0)), 0.0)
         L = L.at[:, i].set(l)
         d = jnp.maximum(d - l * l, 0.0)
         d = d.at[p].set(0.0)

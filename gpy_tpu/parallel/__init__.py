@@ -28,8 +28,13 @@ __all__ = [
     "make_mesh",
     "shard_rows",
     "replicate",
+    "pad_rows_to_multiple",
     "data_parallel_elbo_and_grad",
     "sharded_svgp_train_step",
+    "sharded_gram_matvec",
+    "sharded_iterative_nlml_grad",
+    "sharded_vardtc_elbo_and_grad",
+    "sharded_bgplvm_elbo_and_grad",
 ]
 
 
@@ -260,7 +265,7 @@ def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
     return jax.jit(jax.value_and_grad(nlml))
 
 
-def sharded_vardtc_nlml_grad(model, mesh: Mesh, X=None, Y=None, weights=None,
+def sharded_vardtc_elbo_and_grad(model, mesh: Mesh, X=None, Y=None, weights=None,
                              axis_name: str = "data"):
     """Collapsed VarDTC bound + gradients with row-sharded psi statistics.
 
@@ -343,7 +348,7 @@ def sharded_vardtc_nlml_grad(model, mesh: Mesh, X=None, Y=None, weights=None,
     return val, grads
 
 
-def sharded_bgplvm_nlml_grad(model, mesh: Mesh, axis_name: str = "data"):
+def sharded_bgplvm_elbo_and_grad(model, mesh: Mesh, axis_name: str = "data"):
     """Bayesian-GPLVM ELBO + gradients with the variational latent rows
     sharded over the mesh — the reference's flagship distributed workload
     (GPy BayesianGPLVM(mpi_comm=...) -> core/sparse_gp_mpi.py + the

@@ -143,21 +143,33 @@ def trace(name: str, trace_dir: Optional[str] = None):
     up inside an enclosing session. Degrades to a no-op if the profiler is
     unavailable (e.g. CPU-only minimal builds).
     """
+    # only the profiler SETUP is guarded — an exception from the user's
+    # with-block must propagate untouched (a second `yield` in an except
+    # would mask it with "generator didn't stop after throw()")
+    ann = None
+    started = False
     try:
         import jax
 
         if trace_dir is not None:
             jax.profiler.start_trace(trace_dir)
-            try:
-                with jax.profiler.TraceAnnotation(name):
-                    yield
-            finally:
-                jax.profiler.stop_trace()
-        else:
-            with jax.profiler.TraceAnnotation(name):
-                yield
+            started = True
+        ann = jax.profiler.TraceAnnotation(name)
+        ann.__enter__()
     except Exception:
+        ann = None
+    try:
         yield
+    finally:
+        if ann is not None:
+            ann.__exit__(None, None, None)
+        if started:
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
 
 @contextlib.contextmanager
@@ -165,8 +177,14 @@ def log_compiles(enabled: bool = True):
     """Log every XLA compilation inside the region (retracing detector)."""
     import jax
 
+    cm = None
     try:
-        with jax.log_compiles(enabled):
-            yield
+        cm = jax.log_compiles(enabled)
+        cm.__enter__()
     except Exception:
+        cm = None
+    try:
         yield
+    finally:
+        if cm is not None:
+            cm.__exit__(None, None, None)

@@ -121,7 +121,7 @@ def test_sharded_vardtc_matches_serial():
     the invariant GPy's manual mpi_test__.py checks for its MPI path."""
     import jax.numpy as jnp
     from gpy_tpu.models import SparseGPRegression
-    from gpy_tpu.parallel import make_mesh, sharded_vardtc_nlml_grad
+    from gpy_tpu.parallel import make_mesh, sharded_vardtc_elbo_and_grad
 
     rng = np.random.default_rng(7)
     N, M, D = 83, 9, 2   # N deliberately NOT divisible by 8 (padding path)
@@ -136,7 +136,7 @@ def test_sharded_vardtc_matches_serial():
     )(m.get_raw_dict(free_only=True))
 
     mesh = make_mesh(8)
-    val, grads = sharded_vardtc_nlml_grad(m, mesh)
+    val, grads = sharded_vardtc_elbo_and_grad(m, mesh)
     assert float(val) == pytest.approx(serial, rel=1e-9, abs=1e-8)
     for k in g_serial:
         np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(g_serial[k]),
@@ -148,7 +148,7 @@ def test_sharded_bgplvm_matches_serial():
     including the sharded qX gradients reassembled across devices)."""
     import jax.numpy as jnp
     from gpy_tpu.models import BayesianGPLVM
-    from gpy_tpu.parallel import make_mesh, sharded_bgplvm_nlml_grad
+    from gpy_tpu.parallel import make_mesh, sharded_bgplvm_elbo_and_grad
 
     rng = np.random.default_rng(8)
     N, Dy, Q, M = 43, 4, 3, 7   # N not divisible by 8: padding path
@@ -160,7 +160,7 @@ def test_sharded_bgplvm_matches_serial():
     )(m.get_raw_dict(free_only=True))
 
     mesh = make_mesh(8)
-    val, grads = sharded_bgplvm_nlml_grad(m, mesh)
+    val, grads = sharded_bgplvm_elbo_and_grad(m, mesh)
     assert float(val) == pytest.approx(serial, rel=1e-9, abs=1e-7)
     for k, gs in g_serial.items():
         np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(gs),
