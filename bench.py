@@ -191,7 +191,7 @@ def main():
 
     # --- extra: HMC samples/s/chip (BASELINE.json metric axis) -------------
     try:
-        signal.alarm(180)
+        signal.alarm(300)  # the 8-chain vmapped leapfrog compile alone ~2min
         from gpy_tpu.mcmc import HMC
         from gpy_tpu.models import GPRegression
 
