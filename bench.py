@@ -200,7 +200,9 @@ def main():
         Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
         mh = GPRegression(Xh, Yh, noise_var=0.1)
         hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
-        n_s, n_c = 200, 8  # 8 vmapped chains batch the per-leapfrog chol
+        n_s, n_c = 80, 8  # 8 vmapped chains batch the per-leapfrog chol;
+        # 80 samples x 8 chains ~ 32s/call keeps 1 warm + 2 timed runs
+        # inside the alarm
         # (32 chains crashed the TPU worker on this host — stay at 8)
         print("bench: hmc extra...", file=sys.stderr, flush=True)
         hmc.sample(num_samples=n_s, num_chains=n_c, seed=0)  # compile + run
