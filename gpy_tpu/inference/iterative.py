@@ -166,7 +166,8 @@ class IterativeGaussianInference(LatentFunctionInference):
     """
 
     def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0,
-                 materialize="auto", materialize_max_n=50_000, precond_rank=0):
+                 materialize="auto", materialize_max_n=50_000, precond_rank=0,
+                 gram_dtype=None):
         self.max_cg = max_cg
         self.n_probes = n_probes
         self.block = block
@@ -183,6 +184,13 @@ class IterativeGaussianInference(LatentFunctionInference):
         # the differentiable surrogate pass still streams (O(block*N) memory).
         self.materialize = materialize
         self.materialize_max_n = materialize_max_n
+        # gram_dtype="bfloat16": store the materialized Gram half-width and
+        # run CG matvecs with f32 accumulation — 1.7x on the solve (HBM
+        # bandwidth bound). COST: the bf16 entry rounding (~8e-3 relative)
+        # systematically biases the SLQ logdet (measured ~0.5-2% of the
+        # NLML) and caps CG convergence at ~1e-3. Use for throughput-bound
+        # exploratory fits, not final NLML evaluation; default full f32.
+        self.gram_dtype = gram_dtype
         self._jit_cache = {}
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
@@ -238,11 +246,18 @@ class IterativeGaussianInference(LatentFunctionInference):
                                        noise=lax.stop_gradient(noise),
                                        block=self.block)
             K_sg = lax.stop_gradient(K_sg)
+            if self.gram_dtype is not None:
+                K_sg = K_sg.astype(self.gram_dtype)
             pad = P - N
 
             def mv_sg(V):
                 Vp = jnp.concatenate(
                     [V, jnp.zeros((pad, V.shape[1]), V.dtype)], 0) if pad else V
+                if self.gram_dtype is not None:
+                    out = jax.lax.dot_general(
+                        K_sg, Vp.astype(K_sg.dtype), (((1,), (0,)), ((), ())),
+                        preferred_element_type=V.dtype)
+                    return out[:N]
                 return (K_sg @ Vp)[:N]
         else:
             def mv_sg(V):

@@ -160,3 +160,24 @@ def test_preconditioned_cg_inference_beats_plain_at_equal_budget():
     assert err_p < err_u / 10
     np.testing.assert_allclose(np.asarray(outs[60][1]), np.asarray(gd),
                                rtol=0.3, atol=2.0)
+
+
+def test_bf16_gram_storage_close_to_f32():
+    """Opt-in bfloat16 Gram storage: documented-tradeoff knob. The bf16
+    entry rounding biases the SLQ logdet; assert the bias stays within the
+    documented few-percent envelope (it is NOT probe noise — same probes)."""
+    from gpy_tpu.inference.iterative import IterativeGaussianInference
+    from gpy_tpu.models import GPRegression
+
+    rng = np.random.default_rng(2)
+    N = 500
+    X = rng.random((N, 2)) * 5.0
+    Y = np.sin(X[:, :1]) + 0.3 * rng.standard_normal((N, 1))
+    vals = {}
+    for tag, dt in (("f32", None), ("bf16", "bfloat16")):
+        m = GPRegression(X.astype(np.float32), Y.astype(np.float32), noise_var=1.0,
+                         inference_method=IterativeGaussianInference(
+                             max_cg=64, n_probes=8, block=128,
+                             materialize=True, gram_dtype=dt))
+        vals[tag] = float(m.log_likelihood())
+    assert abs(vals["bf16"] - vals["f32"]) < 0.05 * abs(vals["f32"]) + 1.0
