@@ -39,11 +39,27 @@ def _posterior_w(R, tau, v):
 
 
 class EPDTC(LatentFunctionInference):
-    def __init__(self, epsilon=1e-6, eta=1.0, delta=0.8, max_iters=60):
+    def __init__(self, epsilon=1e-6, eta=1.0, delta=0.8, max_iters=60,
+                 ep_mode="nested"):
+        """ep_mode as in EP (GPy: expectation_propagation.py:188-213):
+        "alternated" freezes converged sites while optimize() moves the
+        hyperparameters; "nested" (our default) re-converges every
+        evaluation."""
+        assert ep_mode in ("nested", "alternated")
         self.epsilon = epsilon
         self.eta = eta
         self.delta = delta
         self.max_iters = max_iters
+        self.ep_mode = ep_mode
+        self._frozen = False
+        self._site_cache = None
+
+    def on_optimization_start(self):
+        self.__dict__["_site_cache"] = None
+        self._frozen = self.ep_mode == "alternated"
+
+    def on_optimization_end(self):
+        self._frozen = False
 
     def _converge_sites(self, R, likelihood, Y, Y_metadata):
         R = lax.stop_gradient(R)
@@ -101,7 +117,18 @@ class EPDTC(LatentFunctionInference):
         Lm = jitchol(Kmm)
         Kmn = kern.K(Z, X)
         R = jsl.solve_triangular(Lm, Kmn, lower=True)  # (M, N)
-        tau, v = self._converge_sites(R, likelihood, Y, Y_metadata)
+        N = R.shape[1]
+        cache = self._site_cache
+        if self._frozen and cache is not None and cache[0] == N:
+            tau = jnp.asarray(cache[1], dtype=R.dtype)
+            v = jnp.asarray(cache[2], dtype=R.dtype)
+        else:
+            tau, v = self._converge_sites(R, likelihood, Y, Y_metadata)
+            import jax.core as _jcore
+            import numpy as _onp
+
+            if not isinstance(tau, _jcore.Tracer):
+                self.__dict__["_site_cache"] = (N, _onp.asarray(tau), _onp.asarray(v))
         log_marginal = self._log_marginal(R, likelihood, Y, Y_metadata, tau, v)
         # posterior container over Z
         _, _, m_w, S_w, _ = _posterior_w(R, tau, v)

@@ -234,3 +234,14 @@ def test_step_timer_and_metrics():
         _ = jnp.ones(3) + 1
     with log_compiles(False):
         _ = jnp.ones(3) + 1
+
+
+def test_trace_propagates_exceptions():
+    from gpy_tpu.util.diagnostics import trace, log_compiles
+
+    with pytest.raises(ValueError, match="original"):
+        with trace("region"):
+            raise ValueError("original")
+    with pytest.raises(ValueError, match="original2"):
+        with log_compiles(False):
+            raise ValueError("original2")
