@@ -30,7 +30,10 @@ class MixedNoise(Likelihood):
     def gaussian_variance(self, Y_metadata=None):
         variances = jnp.stack([jnp.asarray(l.variance) for l in self.likelihoods_list])
         idx = jnp.asarray(Y_metadata["output_index"], dtype=jnp.int32).reshape(-1)
-        return variances[idx].reshape(np.asarray(Y_metadata["output_index"]).shape)
+        # one-hot matmul, not a gather: the gather's VJP is an N-update
+        # scatter-add into the P variances (TPU scatters serialize)
+        E = (idx[:, None] == jnp.arange(variances.shape[0])[None, :]).astype(variances.dtype)
+        return (E @ variances).reshape(np.asarray(Y_metadata["output_index"]).shape)
 
     def noise_diagonal(self, N, Y_metadata=None):
         return self.gaussian_variance(Y_metadata).reshape(-1)
