@@ -43,7 +43,6 @@ class Symbolic(Kern):
             raise ValueError("You must provide a sympy expression for the covariance function.")
         super().__init__(input_dim, active_dims=active_dims, name=name)
 
-        x_names = ["x"] if input_dim == 1 else []
         x_syms = [sympy.Symbol(f"x_{i}") for i in range(input_dim)]
         z_syms = [sympy.Symbol(f"z_{i}") for i in range(input_dim)]
         if input_dim == 1:
@@ -53,7 +52,6 @@ class Symbolic(Kern):
             raise ValueError(
                 "with input_dim > 1 use x_0..x_{Q-1} / z_0..z_{Q-1}; bare "
                 "'x'/'z' would silently become trainable parameters")
-        del x_names
 
         io_names = {s.name for s in x_syms} | {s.name for s in z_syms}
         param_syms = sorted(
