@@ -257,9 +257,19 @@ class Model(Module):
         # through a remote-device tunnel), dwarfing the step itself
         CHUNK = min(max_iters, 100)
 
-        @partial(jax.jit, static_argnames="length")
-        def run_chunk(carry, length):
-            return jax.lax.scan(step, carry, None, length=length)
+        # cache the compiled chunk across optimize() calls (keyed like the
+        # objgrad cache, plus the optimizer config that shapes the step)
+        cache_key = (optimizer, float(step_size), self.structure_version(),
+                     self._data_version())
+        cached = self.__dict__.get("_optax_chunk_cache")
+        if cached is not None and cached[0] == cache_key:
+            run_chunk = cached[1]
+        else:
+            @partial(jax.jit, static_argnames="length")
+            def run_chunk(carry, length):
+                return jax.lax.scan(step, carry, None, length=length)
+
+            self.__dict__["_optax_chunk_cache"] = (cache_key, run_chunk)
 
         x = self.get_flat_raw()
         carry = (x, opt.init(x))
@@ -349,7 +359,7 @@ class Model(Module):
         import gzip
         import pickle as _p
 
-        state = {k: v for k, v in self.__dict__.items() if k not in ("_objgrad_cache", "_posterior_cache", "_fit_chunk_cache")}
+        state = {k: v for k, v in self.__dict__.items() if k not in ("_objgrad_cache", "_posterior_cache", "_fit_chunk_cache", "_optax_chunk_cache")}
         with gzip.open(path, "wb") as f:
             _p.dump((type(self), state), f)
         return path
