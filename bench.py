@@ -189,6 +189,52 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: BGPLVM on-device adam steps/s (BASELINE config #5 axis) ----
+    try:
+        signal.alarm(240)
+        print("bench: bgplvm extra...", file=sys.stderr, flush=True)
+        from gpy_tpu.models import BayesianGPLVM
+
+        Yb_ = (rng.standard_normal((1000, 3)) @ rng.standard_normal((3, 12))
+               + 0.1 * rng.standard_normal((1000, 12))).astype(np.float32)
+        mb_ = BayesianGPLVM(Yb_, 10, num_inducing=30)
+        mb_.optimize(optimizer="adam", max_iters=200, step_size=5e-3)  # compile
+        best_b = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            mb_.optimize(optimizer="adam", max_iters=200, step_size=5e-3)
+            best_b = min(best_b, time.perf_counter() - t0)
+        extra["bgplvm_adam_steps_per_s_n1000"] = round(200 / best_b, 1)
+    except Exception as e:  # pragma: no cover
+        extra["bgplvm_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
+    # --- extra: coregionalized multi-output NLML+grad (config #4 axis) -----
+    try:
+        signal.alarm(240)
+        print("bench: coreg extra...", file=sys.stderr, flush=True)
+        from gpy_tpu.models import GPCoregionalizedRegression
+
+        Xl = [np.sort(rng.random((1000, 1)).astype(np.float32) * 10, 0) for _ in range(4)]
+        Yl = [np.sin(Xc + i) + 0.1 * rng.standard_normal(Xc.shape).astype(np.float32)
+              for i, Xc in enumerate(Xl)]
+        mc_ = GPCoregionalizedRegression(Xl, Yl)
+        ogc = mc_._get_objgrad()
+        fc = np.asarray(mc_.get_flat_raw())
+        v, g = ogc(jnp.asarray(fc)); float(v); np.asarray(g)
+        v, g = ogc(jnp.asarray(fc * 1.000001)); float(v); np.asarray(g)  # double warm
+        best_c = float("inf")
+        for i in range(2, 5):
+            t0 = time.perf_counter()
+            v, g = ogc(jnp.asarray(fc + 1e-4 * i)); float(v); np.asarray(g)
+            best_c = min(best_c, time.perf_counter() - t0)
+        extra["coreg_nlml_grad_ms_n4000"] = round(best_c * 1e3, 1)
+    except Exception as e:  # pragma: no cover
+        extra["coreg_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     # --- extra: HMC samples/s/chip (BASELINE.json metric axis) -------------
     try:
         signal.alarm(300)  # the 8-chain vmapped leapfrog compile alone ~2min
