@@ -138,3 +138,23 @@ def test_gradient_checker_product_features():
             T[i, i, i] = 24 * x[i]
         return T
     assert SkewChecker(df3, ddf3, dddf3, np.array([0.5, -0.8])).checkgrad()
+
+
+def test_parallel_vmapped_restarts():
+    """optimize_restarts(parallel=True): all restarts as ONE vmapped
+    on-device loop; best kept, matches L-BFGS optimum."""
+    from gpy_tpu.models import GPRegression
+
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 5, 50).reshape(-1, 1)
+    Y = np.sin(3 * X) + 0.1 * rng.standard_normal((50, 1))
+    m = GPRegression(X, Y)
+    res = m.optimize_restarts(num_restarts=4, parallel=True, seed=1,
+                              max_iters=300, step_size=0.03, verbose=False)
+    assert len(res) == 4
+    m2 = GPRegression(X, Y)
+    m2.optimize()
+    assert float(-m.log_likelihood()) < float(-m2.log_likelihood()) + 2.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="optax"):
+        m.optimize_restarts(parallel=True, optimizer="lbfgsb")
