@@ -304,3 +304,18 @@ def test_symbolic_kernel_2d_and_composition():
     np.testing.assert_allclose(K2, K2.T, atol=1e-12)
     ev = np.linalg.eigvalsh(K2)
     assert ev.min() > -1e-10
+
+
+@pytest.mark.parametrize("make", ALL_KERNELS, ids=lambda f: f().name)
+def test_gp_regression_checkgrad_per_kernel(make):
+    """GPy's dominant test pattern (test_model.py:834+): build a small
+    GPRegression with each kernel, randomize, finite-difference checkgrad
+    through the WHOLE model (kernel + likelihood params jointly)."""
+    from gpy_tpu.models import GPRegression
+
+    k = make()
+    r = np.random.default_rng(hash(k.name) % 2**31)
+    X = r.standard_normal((12, k.input_dim))
+    Y = np.sin(X[:, :1]) + 0.1 * r.standard_normal((12, 1))
+    m = GPRegression(X, Y, kernel=k, noise_var=0.3)
+    assert m.checkgrad(), f"checkgrad failed for {k.name}"
