@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from . import tango  # noqa: F401
+from . import dep_plots  # noqa: F401
 from .gpy_plot import (  # noqa: F401
     plot_ARD,
     plot_confidence,

@@ -186,3 +186,40 @@ def test_visualize_viewers():
     viewer.modify(np.asarray([[0.5, -0.3]]))
     viewer.close()
     plt.close("all")
+
+
+def test_dep_plots_surface():
+    """matplot_dep specialty plots (GPy: priors_plots/variational_plots/
+    img_plots/maps/controllers)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from gpy_tpu.plotting import dep_plots
+    from gpy_tpu.core.priors import Gamma
+    from gpy_tpu.core.variational import NormalPosterior
+
+    ax = dep_plots.univariate_plot(Gamma(2.0, 1.0))
+    assert len(ax.lines) == 1
+    qX = NormalPosterior(np.random.randn(20, 3), np.full((20, 3), 0.2))
+    ax = dep_plots.plot_variational_dist(qX)
+    assert len(ax.lines) == 3
+    fig = plt.figure()
+    axes = dep_plots.plot_2D_images(fig, np.random.rand(6, 16), (4, 4))
+    assert len(axes) == 6
+    # maps gated on pyshp with a clean error
+    import pytest
+    with pytest.raises(ImportError, match="pyshp"):
+        dep_plots.plot_bbox("/nonexistent.shp")
+    # imshow controller recomputes on axis change
+    fig, ax = plt.subplots()
+    calls = []
+    def pf(x0, x1, y0, y1, res):
+        calls.append((x0, x1))
+        xs = np.linspace(x0, x1, res)
+        return np.sin(xs)[None, :].repeat(res, 0)
+    c = dep_plots.ImshowController(ax, pf, (0, 0, 4, 4), resolution=16)
+    ax.set_xlim(10, 20)
+    ax.set_ylim(10, 20)
+    assert len(calls) >= 2
+    plt.close("all")
