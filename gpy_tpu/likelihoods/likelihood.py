@@ -154,6 +154,45 @@ class Likelihood(Module):
             self.samples_given_f(jax.random.PRNGKey(seed), jnp.asarray(gp), Y_metadata)
         )
 
+    def MCMC_pdf_samples(self, fNew, num_samples=1000, starting_loc=None,
+                         stepsize=0.1, burn_in=1000, Y_metadata=None, seed=0):
+        """Metropolis samples of y* | f* for likelihoods with no direct sampler.
+
+        GPy: likelihood.py:780-852 — a Python loop of per-point random-walk
+        Metropolis chains (one chain per row of fNew, shared stepsize), with
+        the acceptance computed on pdf ratios. TPU design: all chains advance
+        together inside ONE `lax.scan` (burn-in and kept phases are the same
+        scan; kept samples are written into the output carrier), acceptance in
+        the log domain (no overflow for peaked likelihoods).
+
+        Returns an array of shape (n_chains, num_samples) like the reference.
+        """
+        fNew = jnp.asarray(fNew).reshape(-1, 1)
+        if starting_loc is None:
+            starting_loc = fNew
+        y0 = jnp.asarray(starting_loc).reshape(-1)
+        n = y0.shape[0]
+        step = jnp.full((n,), stepsize, dtype=y0.dtype)
+        total = int(burn_in) + int(num_samples)
+
+        def logp(y):
+            return self.logpdf(fNew, y[:, None], Y_metadata).reshape(-1)
+
+        def mh_step(carry, key):
+            y, lp = carry
+            k1, k2 = jax.random.split(key)
+            prop = y + step * jax.random.normal(k1, (n,), dtype=y.dtype)
+            lp_prop = logp(prop)
+            accept = jnp.log(jax.random.uniform(k2, (n,), dtype=y.dtype)) < (lp_prop - lp)
+            y = jnp.where(accept, prop, y)
+            lp = jnp.where(accept, lp_prop, lp)
+            return (y, lp), (y, accept)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), total)
+        (_, _), (chain, accepted) = jax.lax.scan(mh_step, (y0, logp(y0)), keys)
+        self.last_mcmc_accept_ratio = float(jnp.mean(accepted[burn_in:]))
+        return np.asarray(chain[burn_in:].T)
+
     # EP/Laplace helpers -----------------------------------------------------
     def d_logpdf_df(self, f, y, Y_metadata=None):
         g = jax.grad(lambda ff: jnp.sum(self.logpdf(ff, y, Y_metadata)))

@@ -189,3 +189,24 @@ def test_samples_shapes():
         f = jnp.asarray(rng.standard_normal((5, 1)))
         s = l.samples(f, Y_metadata=md)
         assert s.shape == (5, 1)
+
+
+def test_mcmc_pdf_samples_gaussian_moments():
+    # Metropolis samples of y*|f* should match the (known) Gaussian conditional.
+    # GPy: likelihood.py:780 MCMC_pdf_samples (per-point Metropolis chains).
+    l = lik.Gaussian(variance=0.25)
+    f = jnp.asarray([[0.0], [2.0]])
+    chains = l.MCMC_pdf_samples(f, num_samples=4000, stepsize=0.7, burn_in=500, seed=3)
+    assert chains.shape == (2, 4000)
+    assert 0.05 < l.last_mcmc_accept_ratio < 0.95
+    assert np.allclose(chains.mean(axis=1), [0.0, 2.0], atol=0.1)
+    assert np.allclose(chains.std(axis=1), 0.5, atol=0.08)
+
+
+def test_mcmc_pdf_samples_nonanalytic():
+    # Works for likelihoods with no direct sampler (positive support via link).
+    l = lik.Gamma()
+    chains = l.MCMC_pdf_samples(jnp.asarray([[0.5]]), num_samples=500,
+                                stepsize=0.5, burn_in=200, seed=0)
+    assert chains.shape == (1, 500)
+    assert np.isfinite(chains).all()
