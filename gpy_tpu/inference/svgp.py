@@ -110,6 +110,12 @@ def svgp_elbo_parts_S(kern, X, Z, likelihood, Y, q_u_mean, S, logdet_S,
     the entropy part of dELBO/dS (+0.5 S^-1, from the logdet term that is
     passed in as a constant here) must be added analytically by the caller.
 
+    TPU solve strategy: a triangular solve against the (M, B) cross-gram is a
+    sequential blocked op the MXU can't saturate. Instead invert the M x M
+    Cholesky factor ONCE (the only trsm left, eye RHS) and hit everything
+    else with plain matmuls: C = Lmm^-1 Kmn, W = Lmm^-1 S Lmm^-T. All VJPs
+    become matmuls too.
+
     S: (D, M, M) symmetric PD; logdet_S: scalar, sum over outputs.
     """
     M = Z.shape[0]
@@ -117,21 +123,24 @@ def svgp_elbo_parts_S(kern, X, Z, likelihood, Y, q_u_mean, S, logdet_S,
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
     Lmm = jnp.linalg.cholesky(Kmm)
     Kmn = kern.K(Z, X)
-    A = jsl.cho_solve((Lmm, True), Kmn)  # (M, N)
-    mu = A.T @ q_u_mean
+    eye = jnp.eye(M, dtype=Z.dtype)
+    Lmi = jsl.solve_triangular(Lmm, eye, lower=True)  # (M, M) lower
+    C = Lmi @ Kmn  # whitened cross-cov (M, N) — pure matmul
+    Li_m = Lmi @ q_u_mean  # (M, D)
+    mu = C.T @ Li_m
     if mean_function is not None:
         mu = mu + mean_function.f(X)
     Kdiag = kern.Kdiag(X)
-    AKmn = jnp.sum(A * Kmn, axis=0)
-    SA = jnp.einsum("dij,jn->din", S, A)  # (D, M, N)
-    ASA = jnp.sum(A[None] * SA, axis=1).T  # (N, D)
-    var = jnp.maximum((Kdiag - AKmn)[:, None] + ASA, 1e-12)
+    CKC = jnp.sum(C * C, axis=0)  # diag(Knm Kmm^-1 Kmn)
+    # W = Lmm^-1 S Lmm^-T per output: diag(A'SA) = diag(C' W C)
+    W = jnp.einsum("ij,djk,lk->dil", Lmi, S, Lmi)  # (D, M, M)
+    WC = jnp.einsum("dij,jn->din", W, C)  # (D, M, N)
+    CWC = jnp.sum(C[None] * WC, axis=1).T  # (N, D)
+    var = jnp.maximum((Kdiag - CKC)[:, None] + CWC, 1e-12)
     F = likelihood.variational_expectations(Y, mu, var, Y_metadata)
     # KL(q||p): 0.5 (tr(Kmm^-1 S) + m' Kmm^-1 m - MD + D logdet K - logdet S)
-    Li_m = jsl.solve_triangular(Lmm, q_u_mean, lower=True)
     mahal = jnp.sum(Li_m**2)
-    Kmmi = jsl.cho_solve((Lmm, True), jnp.eye(M, dtype=Z.dtype))
-    trace = jnp.sum(Kmmi[None] * S)
+    trace = jnp.sum(jnp.diagonal(W, axis1=-2, axis2=-1))
     logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lmm)))
     kl = 0.5 * (trace + mahal - M * D + D * logdet_K - logdet_S)
     return jnp.sum(F) * batch_scale, kl
