@@ -41,11 +41,15 @@ def q_f_marginals(kern, X, Z, q_u_mean, L_u):
     # the training hot path at one factorization
     Lmm = jnp.linalg.cholesky(Kmm)
     Kmn = kern.K(Z, X)  # (M, N)
-    A = jsl.cho_solve((Lmm, True), Kmn)  # Kmm^-1 Kmn, (M, N)
+    # trsm against (M, N) RHS is sequential-blocked; invert the M x M factor
+    # once and use matmuls (same strategy as svgp_elbo_parts_S)
+    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M, dtype=Z.dtype), lower=True)
+    C = Lmi @ Kmn  # Lmm^-1 Kmn, (M, N)
+    A = Lmi.T @ C  # Kmm^-1 Kmn, (M, N)
     mu = A.T @ q_u_mean  # (N, D)
     Kdiag = kern.Kdiag(X)  # (N,)
     # var_nd = Kdiag_n - sum_m A_mn Kmn_mn + sum (A' S A)_nn per output d
-    AKmn = jnp.sum(A * Kmn, axis=0)  # diag(Knm Kmm^-1 Kmn)
+    AKmn = jnp.sum(C * C, axis=0)  # diag(Knm Kmm^-1 Kmn)
     SA = jnp.einsum("dij,jn->din", L_u.transpose(0, 2, 1), A)  # L' A  (D, M, N)
     ASA = jnp.sum(SA**2, axis=1).T  # (N, D)
     var = (Kdiag - AKmn)[:, None] + ASA
