@@ -99,6 +99,8 @@ class Model(Module):
 
         optimizer: 'lbfgsb' | 'bfgs' | 'tnc' | 'simplex' (Nelder-Mead) |
         'scg' (Moller scaled conjugate gradients, GPy's classic default) |
+        'lbfgs_device' (L-BFGS + zoom linesearch as ONE on-device
+        lax.while_loop — no host round trips) |
         'adam' | 'adagrad' | 'rmsprop' | 'adadelta' | 'rprop' (on-device
         optax loops — the last two replace GPy's climin optimizers).
         GPy: GP.optimize core/gp.py:663-684 → paramz optimize.
@@ -110,6 +112,8 @@ class Model(Module):
         try:
             if optimizer in ("adam", "adagrad", "rmsprop", "adadelta", "rprop"):
                 res = self._optimize_optax(optimizer, max_iters, step_size, messages)
+            elif optimizer == "lbfgs_device":
+                res = self._optimize_lbfgs_device(max_iters, messages, gtol)
             elif optimizer == "scg":
                 res = self._optimize_scg(max_iters, messages, gtol, ftol)
             else:
@@ -147,7 +151,7 @@ class Model(Module):
         if optimizer not in methods:
             raise ValueError(
                 f"unknown optimizer {optimizer!r}; choose from "
-                f"{sorted(methods) + ['scg', 'adam', 'adagrad', 'rmsprop', 'adadelta', 'rprop']}"
+                f"{sorted(methods) + ['scg', 'lbfgs_device', 'adam', 'adagrad', 'rmsprop', 'adadelta', 'rprop']}"
             )
         method = methods[optimizer]
         opts = {"maxiter": max_iters}
@@ -239,6 +243,68 @@ class Model(Module):
         if messages:
             print(f"SCG finished: f={fnow:.6f} after {it} iters ({status})")
         return OptimizationResult(x, float(fnow), status, it, status != "maxiter reached")
+
+    def _optimize_lbfgs_device(self, max_iters, messages, gtol):
+        """L-BFGS with zoom linesearch running ENTIRELY on device.
+
+        The scipy path ('lbfgsb') pays one host<->device round trip per
+        objective evaluation (~tens of ms through a remote-device tunnel);
+        here the whole bounded optimization is one jitted lax.while_loop —
+        a single dispatch regardless of iteration count. Trajectories are
+        not bitwise-identical to scipy's L-BFGS-B (different linesearch,
+        no box constraints — raw space is unconstrained anyway), but both
+        converge to the same optima; use 'lbfgsb' when exact scipy
+        semantics matter.
+        """
+        import optax
+
+        opt = optax.lbfgs()
+        fn = self._flat_objective
+        vag = optax.value_and_grad_from_state(fn)
+        gtol = float(gtol)
+
+        cache_key = ("lbfgs_device", int(max_iters), gtol,
+                     self.structure_version(), self._data_version())
+        cached = self.__dict__.get("_lbfgs_device_cache")
+        if cached is not None and cached[0] == cache_key:
+            run = cached[1]
+        else:
+            def cond(carry):
+                _, _, it, gnorm = carry
+                return (it < max_iters) & (gnorm > gtol)
+
+            def body(carry):
+                x, state, it, _ = carry
+                v, g = vag(x, state=state)
+                updates, state = opt.update(g, state, x, value=v, grad=g,
+                                            value_fn=fn)
+                x = optax.apply_updates(x, updates)
+                return x, state, it + 1, jnp.max(jnp.abs(g))
+
+            def run(x0):
+                carry = (x0, opt.init(x0), 0, jnp.asarray(jnp.inf, x0.dtype))
+                x, state, it, gnorm = jax.lax.while_loop(cond, body, carry)
+                return x, it, gnorm
+
+            run = jax.jit(run)
+            self.__dict__["_lbfgs_device_cache"] = (cache_key, run)
+
+        x0 = self.get_flat_raw()
+        x, it, gnorm = run(x0)
+        v = float(fn(x))
+        it = int(it)
+        # a non-finite result (diverged linesearch on a pathological start)
+        # falls back to the start point rather than corrupting the model
+        if not np.isfinite(v):
+            x, v = x0, float(fn(x0))
+        self.set_flat_raw(x)
+        if messages:
+            print(f"lbfgs_device finished: f={v:.6f} after {it} iters "
+                  f"(max|g|={float(gnorm):.2e})")
+        converged = float(gnorm) <= gtol
+        return OptimizationResult(np.asarray(x), v,
+                                  "converged" if converged else "max_iters",
+                                  it, True)
 
     def _optimize_optax(self, optimizer, max_iters, step_size, messages):
         import optax
