@@ -35,7 +35,10 @@ def _pep_core(kern, X, Z, likelihood, Y, Y_metadata, alpha):
     Knn = kern.Kdiag(X)
     U = kern.K(X, Z)  # (N, M)
     L = jitchol(Kmm)
-    LiUT = jsl.solve_triangular(L, U.T, lower=True)  # (M, N)
+    # invert the M x M factor once; the (M, N) projection is then a matmul
+    # on the MXU instead of a sequential-blocked trsm with N RHS
+    Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
+    LiUT = Li @ U.T  # (M, N)
     Qnn = jnp.sum(LiUT**2, axis=0)
     sigma_star = sigma_n + alpha * (Knn - Qnn)
     beta = 1.0 / sigma_star
@@ -46,7 +49,7 @@ def _pep_core(kern, X, Z, likelihood, Y, Y_metadata, alpha):
     b = jsl.solve_triangular(LA, tmp, lower=True)
     tmp2 = jsl.solve_triangular(LA, b, lower=True, trans=1)
     v = jsl.solve_triangular(L, tmp2, lower=True, trans=1)  # woodbury_vector
-    tmp3 = jsl.solve_triangular(LA, jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True), lower=True)
+    tmp3 = jsl.solve_triangular(LA, Li, lower=True)
     P = tmp3.T @ tmp3  # (Kmm + U'RU)^{-1}-ish
     ac = (1.0 - alpha) / alpha if alpha < 1.0 else 0.0
     log_marginal = (
@@ -57,7 +60,6 @@ def _pep_core(kern, X, Z, likelihood, Y, Y_metadata, alpha):
         + 0.5 * jnp.sum(b * b)
         + 0.5 * ac * N * jnp.log(sigma_n)
     )
-    Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
     Kmmi = Li.T @ Li
     posterior = Posterior(woodbury_vector=v, woodbury_inv=Kmmi - P, K=Kmm)
     return log_marginal, posterior
@@ -88,7 +90,8 @@ class DTC(LatentFunctionInference):
         Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
         U = kern.K(X, Z)
         L = jitchol(Kmm)
-        LiUT = jsl.solve_triangular(L, U.T, lower=True)
+        Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
+        LiUT = Li @ U.T
         A = (LiUT * beta[None, :]) @ LiUT.T + jnp.eye(M, dtype=Z.dtype)
         LA = jitchol(A)
         URiy = U.T @ (beta[:, None] * Y)
@@ -103,9 +106,8 @@ class DTC(LatentFunctionInference):
         )
         tmp2 = jsl.solve_triangular(LA, b, lower=True, trans=1)
         v = jsl.solve_triangular(L, tmp2, lower=True, trans=1)
-        tmp3 = jsl.solve_triangular(LA, jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True), lower=True)
+        tmp3 = jsl.solve_triangular(LA, Li, lower=True)
         P = tmp3.T @ tmp3
-        Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
         Kmmi = Li.T @ Li
         posterior = Posterior(woodbury_vector=v, woodbury_inv=Kmmi - P, K=Kmm)
         return posterior, log_marginal

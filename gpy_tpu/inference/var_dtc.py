@@ -37,9 +37,15 @@ def _sparse_terms(kern, X, Z, W, Y, qX=None):
     M = Z.shape[0]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
     L = jitchol(Kmm)
+    # one M x M triangular inverse; the O(N M^2) work then stays on the MXU
+    # as plain matmuls instead of a sequential-blocked trsm with N RHS
+    Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
     if qX is None:
         Kmn = kern.K(Z, X)  # (M, N)
-        A = jsl.solve_triangular(L, Kmn * jnp.sqrt(W)[None, :], lower=True)
+        # A = Li @ KW (matmul, not trsm) BEFORE squaring: sandwiching the
+        # N-summed Gram KW KW' between Li's loses gradient precision when
+        # Kmm is ill-conditioned (cancellation after squaring)
+        A = Li @ (Kmn * jnp.sqrt(W)[None, :])
         AAT = A @ A.T
         psi1WY = Kmn @ (W[:, None] * Y)
         psi0_sum = jnp.sum(W * kern.Kdiag(X))
@@ -59,8 +65,7 @@ def _sparse_terms(kern, X, Z, W, Y, qX=None):
         else:
             psi2n = kern.psi2n(Z, qX)  # (N, M, M)
             Psi2W = jnp.einsum("n,nmk->mk", W, psi2n)
-        tmp = jsl.solve_triangular(L, Psi2W, lower=True)
-        AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
+        AAT = Li @ Psi2W @ Li.T
         AAT = 0.5 * (AAT + AAT.T)
         psi1WY = psi1.T @ (W[:, None] * Y)
         psi0_sum = jnp.sum(W * kern.psi0(Z, qX))

@@ -56,18 +56,20 @@ class VarDTCMissingData(LatentFunctionInference):
         Wfull = mask / sigma2  # (N, D) per-entry precision
         Kmm, L, Kmn, psi0, psi2n = self._common(kern, X, Z, qX)
         eyeM = jnp.eye(M, dtype=Z.dtype)
+        # one M x M triangular inverse shared by every output's vmapped bound:
+        # the per-output (M, N) projections become matmuls (no batched trsm)
+        Li = jsl.solve_triangular(L, eyeM, lower=True)
 
         def bound_d(W, y):
             # W, y: (N,)
             if psi2n is None:
                 obs = (W > 0).astype(W.dtype)
                 sqrtW = jnp.sqrt(jnp.where(W > 0, W, 1.0)) * obs  # no NaN grad at W=0
-                A = jsl.solve_triangular(L, Kmn * sqrtW[None, :], lower=True)
+                A = Li @ (Kmn * sqrtW[None, :])  # matmul, not trsm
                 AAT = A @ A.T
             else:
                 Psi2W = jnp.einsum("n,nmk->mk", W, psi2n)
-                tmp = jsl.solve_triangular(L, Psi2W, lower=True)
-                AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
+                AAT = Li @ Psi2W @ Li.T
                 AAT = 0.5 * (AAT + AAT.T)
             B = eyeM + AAT
             LB = jitchol(B)
@@ -101,17 +103,17 @@ class VarDTCMissingData(LatentFunctionInference):
         sigma2 = likelihood.gaussian_variance(Y_metadata)
         Kmm, L, Kmn, psi0, psi2n = self._common(kern, X, Z, qX)
         eyeM = jnp.eye(M, dtype=Z.dtype)
+        Li = jsl.solve_triangular(L, eyeM, lower=True)
 
         def post_d(W, y):
             if psi2n is None:
                 obs = (W > 0).astype(W.dtype)
                 sqrtW = jnp.sqrt(jnp.where(W > 0, W, 1.0)) * obs  # no NaN grad at W=0
-                A = jsl.solve_triangular(L, Kmn * sqrtW[None, :], lower=True)
+                A = Li @ (Kmn * sqrtW[None, :])  # matmul, not trsm
                 AAT = A @ A.T
             else:
                 Psi2W = jnp.einsum("n,nmk->mk", W, psi2n)
-                tmp = jsl.solve_triangular(L, Psi2W, lower=True)
-                AAT = jsl.solve_triangular(L, tmp.T, lower=True).T
+                AAT = Li @ Psi2W @ Li.T
             B = eyeM + AAT
             LB = jitchol(B)
             psi1Wy = Kmn @ (W * y)[:, None]
