@@ -116,7 +116,10 @@ class EPDTC(LatentFunctionInference):
         Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
         Lm = jitchol(Kmm)
         Kmn = kern.K(Z, X)
-        R = jsl.solve_triangular(Lm, Kmn, lower=True)  # (M, N)
+        # invert the M x M factor once; the (M, N) whitening is a matmul on
+        # the MXU instead of a sequential-blocked N-RHS trsm
+        Lmi = jsl.solve_triangular(Lm, jnp.eye(M, dtype=Z.dtype), lower=True)
+        R = Lmi @ Kmn  # (M, N)
         N = R.shape[1]
         cache = self._site_cache
         if self._frozen and cache is not None and cache[0] == N:
