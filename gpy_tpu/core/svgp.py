@@ -37,7 +37,13 @@ class SVGP(SparseGP):
         M = np.asarray(Z).shape[0]
         D = self.output_dim
         self._add_param("q_u_mean", np.zeros((M, D)))
-        chol0 = np.tile(np.eye(M)[None], (D, 1, 1))
+        # init q(u) = prior N(0, Kmm): KL = 0 and the whitened coordinates
+        # start at exactly I. (GPy inits the flat chol to identity,
+        # core/svgp.py:24-31 — an arbitrary q with enormous initial KL when
+        # Kmm is ill-conditioned; the prior init dominates it on every path.)
+        Kmm0 = np.asarray(kernel.K(jnp.asarray(Z)))
+        L0 = np.linalg.cholesky(Kmm0 + 1e-6 * np.eye(M))
+        chol0 = np.tile(L0[None], (D, 1, 1))
         self._add_param("q_u_chol", np.asarray(triang_to_flat(jnp.asarray(chol0))))
         self.batchsize = batchsize
         self.__dict__["_batch_start"] = 0
@@ -101,9 +107,18 @@ class SVGP(SparseGP):
 
     # --- on-device stochastic training loop --------------------------------
     def fit(self, iters=1000, batchsize=None, step_size=1e-2, natgrad_step_size=0.1,
-            use_natgrad=True, seed=0, messages=False):
-        """Compiled minibatch training: Adam on hypers/Z (+m,S if natgrad off),
-        natural-gradient ascent on (q_u_mean, S).
+            use_natgrad=True, whiten=False, seed=0, messages=False):
+        """Compiled minibatch training: Adam on hypers/Z, natural-gradient
+        ascent on (q_u_mean, S); with use_natgrad=False the variational
+        params join the Adam update, parameterized by the Cholesky factor
+        of S (unconditionally PD — plain ascent on S itself can step it
+        indefinite when the data make the posterior covariance small).
+
+        whiten=True trains the whitened variational distribution
+        q(u) = N(Lmm v, Lmm S_w Lmm') (SURVEY §7.6): the KL is solve-free
+        and the per-step algebra is two M^3 matmuls (+VJPs) cheaper; the
+        model's stored (q_u_mean, q_u_chol) are converted at the fit
+        boundaries, so the public parameterization is unchanged.
 
         Returns the ELBO trace (per step, minibatch estimate).
         """
@@ -125,10 +140,11 @@ class SVGP(SparseGP):
         S0 = jnp.einsum("dij,dkj->dik", flat_to_triang(jnp.asarray(self.q_u_chol), M),
                         flat_to_triang(jnp.asarray(self.q_u_chol), M))
 
-        from ..inference.svgp import svgp_elbo_parts_L, svgp_elbo_parts_S
+        from ..inference.svgp import (CONST_JITTER, svgp_elbo_parts_L,
+                                      svgp_elbo_parts_S,
+                                      svgp_elbo_parts_S_white)
 
         opt = optax.adam(step_size)
-        opt_state = opt.init(hyper_raw)
         full_batch = batchsize >= self.num_data
         eye = jnp.eye(M, dtype=S0.dtype)
 
@@ -153,10 +169,12 @@ class SVGP(SparseGP):
         # entropy gradient +0.5 S^-1 is added analytically, and the update's
         # new precision H = S^-1 - 2 lr dS IS the only matrix that needs a
         # Cholesky (its factor also refreshes logdet S exactly).
+        elbo_parts_S = svgp_elbo_parts_S_white if whiten else svgp_elbo_parts_S
+
         def elbo_S(hypers, q_mean, S, logdetS, Xb, Yb):
             model = self.with_raw_dict(hypers)
             S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-            datafit, kl = svgp_elbo_parts_S(
+            datafit, kl = elbo_parts_S(
                 model.kern, Xb, jnp.asarray(model.Z), model.likelihood, Yb,
                 q_mean, S, logdetS, md, scale, model.mean_function,
             )
@@ -191,10 +209,26 @@ class SVGP(SparseGP):
             return carry, val
 
         # --- plain-gradient step (use_natgrad=False) ------------------------
-        def elbo_L(hypers, q_mean, S, Xb, Yb):
+        # The carried variational covariance is its Cholesky factor Ls
+        # (in the S slot of the shared carry): Adam on (hypers, m, Ls)
+        # jointly. Ascent on S itself can step it indefinite (the posterior
+        # covariance shrinks below the step size as data accumulates); the
+        # factor parameterization is PD by construction — this is GPy's own
+        # flat-chol parameterization (core/svgp.py:24-31), minus the packing.
+        def elbo_L(hypers, q_mean, Ls, Xb, Yb):
             model = self.with_raw_dict(hypers)
-            S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-            Ls = jnp.linalg.cholesky(S + 1e-10 * eye)
+            Ls = jnp.tril(Ls)
+            if whiten:
+                # traced logdet: the entropy gradient flows through it, so no
+                # analytic correction is needed on the plain-gradient path
+                S = jnp.einsum("dij,dkj->dik", Ls, Ls)
+                logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(
+                    jnp.diagonal(Ls, axis1=-2, axis2=-1))))
+                datafit, kl = svgp_elbo_parts_S_white(
+                    model.kern, Xb, jnp.asarray(model.Z), model.likelihood, Yb,
+                    q_mean, S, logdet, md, scale, model.mean_function,
+                )
+                return datafit - kl + model.log_prior()
             # pass L directly — the flat-chol packing round trip (131k-element
             # scatter+gather and their VJPs) has no place in the hot loop
             datafit, kl = svgp_elbo_parts_L(
@@ -204,16 +238,15 @@ class SVGP(SparseGP):
             return datafit - kl + model.log_prior()
 
         def plain_step(carry, key, Xd, Yd):
-            hypers, q_mean, S, Si, logdetS, opt_state = carry
+            hypers, q_mean, Ls, Si, logdetS, opt_state = carry
             Xb, Yb = _batch(key, Xd, Yd)
             val, grads = jax.value_and_grad(elbo_L, argnums=(0, 1, 2))(
-                hypers, q_mean, S, Xb, Yb)
-            g_h, g_m, g_S = grads
-            hypers, opt_state = _adam_on_hypers(hypers, g_h, opt_state)
-            q_mean = q_mean + step_size * g_m
-            S = S + step_size * g_S
-            S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-            return (hypers, q_mean, S, Si, logdetS, opt_state), val
+                hypers, q_mean, Ls, Xb, Yb)
+            params = (hypers, q_mean, Ls)
+            neg_g = jax.tree_util.tree_map(lambda g: -g, grads)
+            updates, opt_state = opt.update(neg_g, opt_state, params)
+            hypers, q_mean, Ls = optax.apply_updates(params, updates)
+            return (hypers, q_mean, jnp.tril(Ls), Si, logdetS, opt_state), val
 
         step = natgrad_step if use_natgrad else plain_step
 
@@ -224,7 +257,8 @@ class SVGP(SparseGP):
         def run_chunk(carry, keys, Xd, Yd):
             return jax.lax.scan(lambda c, k: step(c, k, Xd, Yd), carry, keys)
 
-        cache_key = (CHUNK, batchsize, use_natgrad, float(step_size), float(natgrad_step_size),
+        cache_key = (CHUNK, batchsize, use_natgrad, bool(whiten),
+                     float(step_size), float(natgrad_step_size),
                      self._data_version(), self.structure_version())
         cached = self.__dict__.get("_fit_chunk_cache")
         if cached is not None and cached[0] == cache_key:
@@ -236,10 +270,23 @@ class SVGP(SparseGP):
         master = jax.random.PRNGKey(seed)
         # initial (S^-1, logdet S) from the chol we already hold in the param
         Ls0 = flat_to_triang(jnp.asarray(self.q_u_chol), M)
+        if whiten:
+            # convert (m, S) -> whitened coords at the CURRENT hypers:
+            # v = Lmm^-1 m, chol(S_w) = Lmm^-1 chol(S)
+            Kmm0 = self.kern.K(jnp.asarray(self.Z)) + CONST_JITTER * eye
+            Lmi0 = jsl.solve_triangular(jnp.linalg.cholesky(Kmm0), eye, lower=True)
+            m0 = Lmi0 @ m0
+            Ls0 = jnp.einsum("ij,djk->dik", Lmi0, Ls0)  # lower-triangular stays
+            S0 = jnp.einsum("dij,dkj->dik", Ls0, Ls0)
         Li0 = jax.vmap(lambda L: jsl.solve_triangular(L, eye, lower=True))(Ls0)
         Si0 = jnp.einsum("dji,djk->dik", Li0, Li0)  # L^-T L^-1 per output
         ld0 = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Ls0, axis1=-2, axis2=-1))))
-        carry = (hyper_raw, m0, S0, Si0, ld0, opt_state)
+        if use_natgrad:
+            opt_state = opt.init(hyper_raw)
+            carry = (hyper_raw, m0, S0, Si0, ld0, opt_state)
+        else:
+            opt_state = opt.init((hyper_raw, m0, Ls0))
+            carry = (hyper_raw, m0, Ls0, Si0, ld0, opt_state)
         traces = []
         done = 0
         ci = 0
@@ -256,8 +303,17 @@ class SVGP(SparseGP):
         trace = jnp.concatenate(traces)
         # write back
         self.set_raw_dict(hypers)
+        if use_natgrad:
+            Ls = jnp.linalg.cholesky(S + 1e-10 * jnp.eye(M, dtype=S.dtype))
+        else:
+            Ls = jnp.tril(S)  # the plain path carries the factor itself
+        if whiten:
+            # un-whiten at the FINAL hypers: m = Lmm v, chol(S) = Lmm chol(S_w)
+            Kmm1 = self.kern.K(jnp.asarray(self.Z)) + CONST_JITTER * eye
+            Lmm1 = jnp.linalg.cholesky(Kmm1)
+            q_mean = Lmm1 @ q_mean
+            Ls = jnp.einsum("ij,djk->dik", Lmm1, Ls)
         self.q_u_mean.set_value(q_mean)
-        Ls = jnp.linalg.cholesky(S + 1e-10 * jnp.eye(M, dtype=S.dtype))
         self.q_u_chol.set_value(triang_to_flat(Ls))
         if messages:
             print(f"SVGP fit: ELBO {float(trace[0]):.2f} -> {float(trace[-1]):.2f}")

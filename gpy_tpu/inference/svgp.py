@@ -23,7 +23,7 @@ from .exact import LatentFunctionInference
 from .posterior import Posterior
 
 __all__ = ["SVGPInference", "svgp_elbo_parts", "svgp_elbo_parts_L",
-           "svgp_elbo_parts_S"]
+           "svgp_elbo_parts_S", "svgp_elbo_parts_S_white"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
 CONST_JITTER = 1e-6
@@ -147,6 +147,41 @@ def svgp_elbo_parts_S(kern, X, Z, likelihood, Y, q_u_mean, S, logdet_S,
     trace = jnp.sum(jnp.diagonal(W, axis1=-2, axis2=-1))
     logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lmm)))
     kl = 0.5 * (trace + mahal - M * D + D * logdet_K - logdet_S)
+    return jnp.sum(F) * batch_scale, kl
+
+
+def svgp_elbo_parts_S_white(kern, X, Z, likelihood, Y, v_m, S_w, logdet_Sw,
+                            Y_metadata=None, batch_scale=1.0, mean_function=None):
+    """Whitened ELBO parts: q(u) = N(Lmm v_m, Lmm S_w Lmm') (SURVEY §7.6).
+
+    With the whitened parameterization the prior over the whitened variable
+    is N(0, I): the KL is closed form with NO Kmm solves, and S_w is used
+    directly as the middle factor (no Lmm^-1 S Lmm^-T sandwich) — two M^3
+    matmuls plus their VJPs cheaper per step than the unwhitened parts_S.
+    Same logdet-carried natural-gradient contract: the +0.5 S_w^-1 entropy
+    gradient is added analytically by the caller.
+
+    v_m: (M, D); S_w: (D, M, M) symmetric PD; logdet_Sw: scalar (sum over D).
+    """
+    M = Z.shape[0]
+    D = Y.shape[1]
+    Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+    Lmm = jnp.linalg.cholesky(Kmm)
+    Kmn = kern.K(Z, X)
+    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M, dtype=Z.dtype), lower=True)
+    C = Lmi @ Kmn  # (M, N)
+    mu = C.T @ v_m
+    if mean_function is not None:
+        mu = mu + mean_function.f(X)
+    Kdiag = kern.Kdiag(X)
+    CKC = jnp.sum(C * C, axis=0)
+    SC = jnp.einsum("dij,jn->din", S_w, C)  # (D, M, N)
+    CSC = jnp.sum(C[None] * SC, axis=1).T  # (N, D)
+    var = jnp.maximum((Kdiag - CKC)[:, None] + CSC, 1e-12)
+    F = likelihood.variational_expectations(Y, mu, var, Y_metadata)
+    # KL(N(v, S_w) || N(0, I)) = 0.5 (tr S_w + |v|^2 - MD - logdet S_w)
+    kl = 0.5 * (jnp.sum(jnp.diagonal(S_w, axis1=-2, axis2=-1)) +
+                jnp.sum(v_m**2) - M * D - logdet_Sw)
     return jnp.sum(F) * batch_scale, kl
 
 

@@ -152,3 +152,112 @@ def test_fit_natgrad_entropy_gradient_direction():
     m.fit(iters=1, batchsize=N, use_natgrad=True, step_size=0.0, natgrad_step_size=0.05)
     e1 = float(m.log_likelihood())
     assert e1 > e0
+
+
+def test_elbo_parts_S_white_equals_unwhitened():
+    """Whitened ELBO at (v, S_w) = (Lmm^-1 m, Lmm^-1 S Lmm^-T) must equal the
+    unwhitened one at (m, S) — value of both terms (SURVEY §7.6 whitened q(u))."""
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+    from gpy_tpu.inference.svgp import (CONST_JITTER, svgp_elbo_parts_S,
+                                        svgp_elbo_parts_S_white)
+    from gpy_tpu.likelihoods import Gaussian
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(6)
+    N, M, D, Dy = 40, 10, 2, 2
+    X = rng.standard_normal((N, D))
+    Y = rng.standard_normal((N, Dy))
+    Z = rng.standard_normal((M, D))
+    q_mean = rng.standard_normal((M, Dy))
+    A = rng.standard_normal((Dy, M, M)) * 0.2
+    L = np.tril(A) + np.eye(M) * 1.2
+    S = np.einsum("dij,dkj->dik", L, L)
+    logdetS = 2.0 * np.sum(np.log(np.abs(np.diagonal(L, axis1=-2, axis2=-1))))
+    k = gk.RBF(D, variance=0.9, lengthscale=1.1)
+    lik = Gaussian(variance=0.3)
+
+    Kmm = k.K(jnp.asarray(Z)) + CONST_JITTER * jnp.eye(M)
+    Lmm = jnp.linalg.cholesky(Kmm)
+    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M), lower=True)
+    v = Lmi @ jnp.asarray(q_mean)
+    S_w = jnp.einsum("ij,djk,lk->dil", Lmi, jnp.asarray(S), Lmi)
+    logdetKmm = 2.0 * float(jnp.sum(jnp.log(jnp.diagonal(Lmm))))
+    logdetSw = logdetS - Dy * logdetKmm
+
+    dfU, klU = svgp_elbo_parts_S(k, jnp.asarray(X), jnp.asarray(Z), lik,
+                                 jnp.asarray(Y), jnp.asarray(q_mean),
+                                 jnp.asarray(S), jnp.asarray(logdetS), None, 1.3, None)
+    dfW, klW = svgp_elbo_parts_S_white(k, jnp.asarray(X), jnp.asarray(Z), lik,
+                                       jnp.asarray(Y), v, S_w,
+                                       jnp.asarray(logdetSw), None, 1.3, None)
+    assert float(dfW) == pytest.approx(float(dfU), rel=1e-7)
+    assert float(klW) == pytest.approx(float(klU), rel=1e-6)
+
+
+def test_fit_natgrad_reaches_collapsed_bound_both_parameterizations():
+    """At FIXED hypers with a Gaussian likelihood the optimal q(u) is unique
+    and the optimal ELBO equals the collapsed VarDTC bound — natgrad must
+    recover it exactly in both whitened and unwhitened coordinates. This is
+    the parameterization-invariance oracle (the joint stochastic trajectory
+    is NOT invariant, so comparing joint-run endpoints is not a valid test)."""
+    X, Y = _toy(120)
+    Z = X[::6].copy()  # M=20 at 0.25 spacing: cond(Kmm) ~ 1e16, the hard case
+    sp = SparseGPRegression(X, Y, kernel=gk.RBF(1), Z=Z.copy())
+    sp.likelihood.variance.set_value(0.2)
+    collapsed = float(sp.log_likelihood())
+    for whiten in (False, True):
+        m = SVGP(X, Y, Z.copy(), gk.RBF(1), Gaussian(variance=0.2))
+        m.fit(iters=400, batchsize=120, step_size=0.0, use_natgrad=True,
+              natgrad_step_size=0.5, whiten=whiten, seed=0)
+        e = float(m.log_likelihood())
+        assert e == pytest.approx(collapsed, abs=1e-5), whiten
+
+
+def test_fit_plain_adam_whitened_conditioning():
+    """Plain Adam on the whitened chol factor converges to the collapsed
+    bound where the unwhitened factor stalls (the whole point of whitening:
+    Kmm's conditioning is removed from the variational geometry). Also
+    covers the plain path's PD-safety: Adam on the factor, never on S."""
+    X, Y = _toy(120)
+    Z = X[::6].copy()
+    sp = SparseGPRegression(X, Y, kernel=gk.RBF(1), Z=Z.copy())
+    sp.likelihood.variance.set_value(0.2)
+    collapsed = float(sp.log_likelihood())
+    elbos = {}
+    for whiten in (False, True):
+        m = SVGP(X, Y, Z.copy(), gk.RBF(1), Gaussian(variance=0.2))
+        e0 = float(m.log_likelihood())
+        for p in (m.kern.variance, m.kern.lengthscale, m.likelihood.variance, m.Z):
+            p.fix()
+        m.fit(iters=3000, batchsize=120, step_size=2e-2, use_natgrad=False,
+              whiten=whiten, seed=0)
+        e = float(m.log_likelihood())
+        assert np.isfinite(e) and e > e0 - 1e-6, whiten
+        assert e <= collapsed + 1e-6, whiten  # still a lower bound
+        elbos[whiten] = e
+    assert elbos[True] == pytest.approx(collapsed, abs=1e-3)
+    assert elbos[True] >= elbos[False] - 1e-6
+
+
+def test_fit_whitened_joint_run_improves_and_stores_unwhitened():
+    """Joint (hypers + q) whitened fit improves the ELBO and writes back
+    ordinary unwhitened (q_u_mean, q_u_chol): the public parameterization
+    is unchanged and predictions come out of the standard posterior path."""
+    X, Y = _toy(120)
+    Z = X[::6].copy()
+    m = SVGP(X, Y, Z.copy(), gk.RBF(1), Gaussian(variance=0.2))
+    e0 = float(m.log_likelihood())
+    m.fit(iters=400, batchsize=120, step_size=2e-2, use_natgrad=True,
+          natgrad_step_size=0.3, whiten=True, seed=0)
+    e1 = float(m.log_likelihood())
+    assert e1 > e0
+    mu, v = m.predict(X[:5])
+    assert np.all(np.isfinite(mu)) and np.all(v > 0)
+    # q_u params written back are the unwhitened ones: log_likelihood()
+    # (which evaluates the UNwhitened ELBO from stored params) agrees with
+    # the whitened objective's view — already asserted by e1 > e0 being
+    # computed from stored params; also the factor must be lower-triangular
+    from gpy_tpu.util.choleskies import flat_to_triang
+    L = np.asarray(flat_to_triang(jnp.asarray(m.q_u_chol), Z.shape[0]))
+    assert np.allclose(L, np.tril(L))
