@@ -283,6 +283,47 @@ class Module:
         for ch in self._children.values():
             yield from ch.modules()
 
+    # --- hierarchy-broadcast constraint ops (GPy/paramz Parameterized:
+    # m.kern.fix(), m.likelihood.constrain_positive(), ... apply to every
+    # parameter in the subtree) ---------------------------------------------
+    def _params(self) -> Iterator["Param"]:
+        for _, mod, n in self.named_params():
+            yield Param(mod, n)
+
+    def fix(self, value=None):
+        for p in self._params():
+            p.fix(value)
+        return self
+
+    constrain_fixed = fix
+
+    def unfix(self):
+        for p in self._params():
+            p.unfix()
+        return self
+
+    unconstrain_fixed = unfix
+
+    def constrain_positive(self):
+        for p in self._params():
+            p.constrain_positive()
+        return self
+
+    def constrain_bounded(self, lower, upper):
+        for p in self._params():
+            p.constrain_bounded(lower, upper)
+        return self
+
+    def unconstrain(self):
+        for p in self._params():
+            p.unconstrain()
+        return self
+
+    def set_prior(self, prior):
+        for p in self._params():
+            p.set_prior(prior)
+        return self
+
     def structure_version(self) -> int:
         return sum(m.__dict__.get("_version", 0) for m in self.modules())
 

@@ -158,3 +158,29 @@ def test_parallel_vmapped_restarts():
     import pytest as _pt
     with _pt.raises(ValueError, match="optax"):
         m.optimize_restarts(parallel=True, optimizer="lbfgsb")
+
+
+def test_module_level_constraint_ops_broadcast():
+    """GPy/paramz hierarchy ops: m.kern.fix() fixes every param in the
+    subtree; unfix/constrain_positive/set_prior broadcast the same way."""
+    from gpy_tpu.models import GPRegression
+    from gpy_tpu.core.priors import Gamma
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((12, 1))
+    Y = rng.standard_normal((12, 1))
+    m = GPRegression(X, Y)
+    n_free = m.num_free_params
+    m.kern.fix()
+    assert m.num_free_params == n_free - m.kern.variance.size - m.kern.lengthscale.size
+    m.kern.unfix()
+    assert m.num_free_params == n_free
+    # whole-model fix leaves nothing free
+    m.fix()
+    assert m.num_free_params == 0
+    m.unfix()
+    assert m.num_free_params == n_free
+    # broadcast prior attaches to each param in the subtree
+    m.kern.set_prior(Gamma(2.0, 1.0))
+    lp = float(m.log_prior())
+    assert np.isfinite(lp) and lp != 0.0
