@@ -23,7 +23,8 @@ from .exact import LatentFunctionInference
 from .posterior import Posterior
 
 __all__ = ["SVGPInference", "svgp_elbo_parts", "svgp_elbo_parts_L",
-           "svgp_elbo_parts_S", "svgp_elbo_parts_S_white"]
+           "svgp_elbo_parts_S", "svgp_elbo_parts_S_white",
+           "q_f_marginals_white", "kl_qu_pu_white"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
 CONST_JITTER = 1e-6
@@ -76,6 +77,36 @@ def kl_qu_pu(q_u_mean, L_u, Lmm):
     logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lmm)))
     logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L_u, axis1=-2, axis2=-1))))
     return 0.5 * (trace + mahal - M * D + D * logdet_K - logdet_S)
+
+
+def q_f_marginals_white(kern, X, Z, v_m, L_w):
+    """Marginals of q(f) for the whitened q(u) = N(Lmm v, Lmm S_w Lmm').
+
+    v_m: (M, D) whitened mean; L_w: (D, M, M) lower chol of S_w.
+    Returns (mu (N,D), var (N,D), Lmm, Kmm). The Kmm^-1 sandwich cancels:
+    mu = C' v and var = Kdiag - diag(C'C) + diag(C' S_w C) with C = Lmm^-1 Kmn.
+    """
+    M = Z.shape[0]
+    Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
+    Lmm = jnp.linalg.cholesky(Kmm)
+    Kmn = kern.K(Z, X)
+    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M, dtype=Z.dtype), lower=True)
+    C = Lmi @ Kmn  # (M, N)
+    mu = C.T @ v_m
+    Kdiag = kern.Kdiag(X)
+    CKC = jnp.sum(C * C, axis=0)
+    LC = jnp.einsum("dji,jn->din", L_w, C)  # L_w' C, (D, M, N)
+    CSC = jnp.sum(LC**2, axis=1).T  # (N, D)
+    var = (Kdiag - CKC)[:, None] + CSC
+    return mu, jnp.maximum(var, 1e-12), Lmm, Kmm
+
+
+def kl_qu_pu_white(v_m, L_w):
+    """KL(N(v, L_w L_w') || N(0, I)) summed over outputs — solve-free."""
+    M = L_w.shape[-1]
+    D = v_m.shape[1]
+    logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L_w, axis1=-2, axis2=-1))))
+    return 0.5 * (jnp.sum(L_w**2) + jnp.sum(v_m**2) - M * D - logdet_S)
 
 
 def svgp_elbo_parts_L(kern, X, Z, likelihood, Y, q_u_mean, L_u,

@@ -31,6 +31,8 @@ __all__ = [
     "pad_rows_to_multiple",
     "data_parallel_elbo_and_grad",
     "sharded_svgp_train_step",
+    "svgp_whiten_raw",
+    "svgp_unwhiten_raw",
     "sharded_gram_matvec",
     "sharded_iterative_nlml_grad",
     "sharded_vardtc_elbo_and_grad",
@@ -113,13 +115,59 @@ def data_parallel_elbo_and_grad(model, mesh: Mesh, X, Y, weights=None, axis_name
     return val, grads
 
 
-def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2, axis_name: str = "data"):
+def svgp_whiten_raw(model, raw=None):
+    """Convert the (q_u_mean, q_u_chol) entries of a raw dict to whitened
+    coordinates at the dict's own hypers: v = Lmm^-1 m, L_w = Lmm^-1 L.
+    Returns a new raw dict for use with sharded_svgp_train_step(whiten=True)."""
+    import jax.scipy.linalg as jsl
+    from ..inference.svgp import CONST_JITTER
+    from ..util.choleskies import flat_to_triang, triang_to_flat
+
+    raw = dict(raw if raw is not None else model.get_raw_dict(free_only=True))
+    m = model.with_raw_dict(raw)
+    M = m.Z.shape[0]
+    eye = jnp.eye(M, dtype=jnp.asarray(m.Z).dtype)
+    Lmm = jnp.linalg.cholesky(m.kern.K(jnp.asarray(m.Z)) + CONST_JITTER * eye)
+    Lmi = jsl.solve_triangular(Lmm, eye, lower=True)
+    L_u = flat_to_triang(jnp.asarray(m.q_u_chol), M)
+    raw["q_u_mean"] = Lmi @ jnp.asarray(m.q_u_mean)
+    raw["q_u_chol"] = triang_to_flat(jnp.einsum("ij,djk->dik", Lmi, L_u))
+    return raw
+
+
+def svgp_unwhiten_raw(model, raw):
+    """Inverse of svgp_whiten_raw at the raw dict's (possibly updated)
+    hypers: m = Lmm v, L = Lmm L_w."""
+    from ..inference.svgp import CONST_JITTER
+    from ..util.choleskies import flat_to_triang, triang_to_flat
+
+    raw = dict(raw)
+    m = model.with_raw_dict(raw)
+    M = m.Z.shape[0]
+    eye = jnp.eye(M, dtype=jnp.asarray(m.Z).dtype)
+    Lmm = jnp.linalg.cholesky(m.kern.K(jnp.asarray(m.Z)) + CONST_JITTER * eye)
+    L_w = flat_to_triang(jnp.asarray(m.q_u_chol), M)
+    raw["q_u_mean"] = Lmm @ jnp.asarray(m.q_u_mean)
+    raw["q_u_chol"] = triang_to_flat(jnp.einsum("ij,djk->dik", Lmm, L_w))
+    return raw
+
+
+def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
+                            axis_name: str = "data", whiten: bool = False):
     """Build a jitted SPMD training step (Adam on all free params) for a
     data-sharded SVGP. Returns (step_fn, init_state, shard_fn).
 
     step_fn(params_raw, opt_state, Xs, Ys, ws) -> (params, opt_state, elbo)
     with Xs/Ys sharded over rows. This is the unit `__graft_entry__.
     dryrun_multichip` compiles over an N-device mesh.
+
+    whiten=True interprets the raw (q_u_mean, q_u_chol) as the WHITENED
+    (v, chol S_w) — convert the init state with svgp_whiten_raw and the
+    trained params back with svgp_unwhiten_raw. Plain Adam on the
+    unwhitened factor stalls when Kmm is ill-conditioned (see
+    tests/test_svgp.py::test_fit_plain_adam_whitened_conditioning); the
+    whitened coordinates remove Kmm from the variational geometry, so this
+    is the recommended mode for multi-chip training.
     """
     import optax
 
@@ -130,13 +178,20 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2, axis_nam
         m = model.with_raw_dict(raw_dict)
         M = m.Z.shape[0]
         from ..util.choleskies import flat_to_triang
-        from ..inference.svgp import q_f_marginals, kl_qu_pu
+        from ..inference.svgp import (kl_qu_pu, kl_qu_pu_white,
+                                      q_f_marginals, q_f_marginals_white)
 
         L_u = flat_to_triang(jnp.asarray(m.q_u_chol), M)
-        mu, var, Lmm, _ = q_f_marginals(m.kern, Xs, jnp.asarray(m.Z), jnp.asarray(m.q_u_mean), L_u)
+        if whiten:
+            mu, var, _, _ = q_f_marginals_white(
+                m.kern, Xs, jnp.asarray(m.Z), jnp.asarray(m.q_u_mean), L_u)
+            kl = kl_qu_pu_white(jnp.asarray(m.q_u_mean), L_u)
+        else:
+            mu, var, Lmm, _ = q_f_marginals(
+                m.kern, Xs, jnp.asarray(m.Z), jnp.asarray(m.q_u_mean), L_u)
+            kl = kl_qu_pu(jnp.asarray(m.q_u_mean), L_u, Lmm)
         F = m.likelihood.variational_expectations(Ys, mu, var, md)
         local = jnp.sum(ws[:, None] * F)
-        kl = kl_qu_pu(jnp.asarray(m.q_u_mean), L_u, Lmm)
         total = jax.lax.psum(local, axis_name)
         return total - kl + m.log_prior()
 
@@ -159,6 +214,10 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2, axis_nam
     )
     step = jax.jit(step)
     raw0 = model.get_raw_dict(free_only=True)
+    if whiten:
+        # hand back whitened init coords so step_fn's interpretation and the
+        # returned state agree; convert back with svgp_unwhiten_raw after
+        raw0 = svgp_whiten_raw(model, raw0)
     state0 = opt.init(raw0)
     return step, (raw0, state0), partial(shard_rows, mesh)
 

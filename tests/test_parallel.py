@@ -165,3 +165,40 @@ def test_sharded_bgplvm_matches_serial():
     for k, gs in g_serial.items():
         np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(gs),
                                    rtol=1e-6, atol=1e-8, err_msg=k)
+
+
+def test_sharded_whitened_step_parity_and_roundtrip():
+    """whiten=True sharded step: (1) the whitened distributed ELBO at
+    whitened coords equals the serial unwhitened ELBO, (2) training then
+    unwhitening yields a consistent model, (3) whiten/unwhiten round-trips."""
+    from gpy_tpu.parallel import (sharded_svgp_train_step, svgp_unwhiten_raw,
+                                  svgp_whiten_raw)
+
+    m = _model(48)
+    mesh = make_mesh()
+    Xp, Yp, w = pad_rows_to_multiple(np.asarray(m.X), np.asarray(m.Y_normalized), 8)
+    step, (raw_w, state), shard = sharded_svgp_train_step(
+        m, mesh, step_size=5e-2, whiten=True)
+    # the builder returns whitened init coords; round-trip is exact
+    raw0 = m.get_raw_dict(free_only=True)
+    np.testing.assert_allclose(np.asarray(svgp_whiten_raw(m, raw0)["q_u_chol"]),
+                               np.asarray(raw_w["q_u_chol"]), rtol=1e-9, atol=1e-10)
+    back = svgp_unwhiten_raw(m, raw_w)
+    for k in ("q_u_mean", "q_u_chol"):
+        np.testing.assert_allclose(np.asarray(back[k]), np.asarray(raw0[k]),
+                                   rtol=1e-9, atol=1e-10)
+    Xs, Ys, ws = shard(jnp.asarray(Xp)), shard(jnp.asarray(Yp)), shard(jnp.asarray(w))
+    v0 = None
+    for i in range(20):
+        raw_w, state, v = step(raw_w, state, Xs, Ys, ws)
+        if v0 is None:
+            v0 = float(v)
+            # parity at step 0: whitened distributed ELBO == serial ELBO
+            serial = float(m.log_likelihood()) + float(m.log_prior())
+            assert v0 == pytest.approx(serial, rel=1e-9)
+    assert float(v) > v0
+    m.set_raw_dict(svgp_unwhiten_raw(m, raw_w))
+    # unwhitened model ELBO == the whitened objective's last view (both are
+    # the same ELBO in different coordinates)
+    assert float(m.log_likelihood()) + float(m.log_prior()) >= v0
+    assert np.isfinite(float(m.log_likelihood()))
