@@ -137,8 +137,6 @@ class SVGP(SparseGP):
         raw = self.get_raw_dict(free_only=True)
         hyper_raw = {k: v for k, v in raw.items() if k not in var_paths}
         m0 = jnp.asarray(self.q_u_mean)
-        S0 = jnp.einsum("dij,dkj->dik", flat_to_triang(jnp.asarray(self.q_u_chol), M),
-                        flat_to_triang(jnp.asarray(self.q_u_chol), M))
 
         from ..inference.svgp import (CONST_JITTER, svgp_elbo_parts_L,
                                       svgp_elbo_parts_S,
@@ -146,7 +144,7 @@ class SVGP(SparseGP):
 
         opt = optax.adam(step_size)
         full_batch = batchsize >= self.num_data
-        eye = jnp.eye(M, dtype=S0.dtype)
+        eye = jnp.eye(M, dtype=m0.dtype)
 
         def _batch(key, Xd, Yd):
             # Xd/Yd are threaded through as jit ARGUMENTS: closing over the
@@ -257,30 +255,60 @@ class SVGP(SparseGP):
         def run_chunk(carry, keys, Xd, Yd):
             return jax.lax.scan(lambda c, k: step(c, k, Xd, Yd), carry, keys)
 
+        # initial (m, S/L, S^-1, logdet S) from the stored flat chol — ONE
+        # jitted dispatch: through the remote tunnel every eager op pays the
+        # ~24ms dispatch floor, and the init/write-back chains have half a
+        # dozen each (measured: they cost more than a whole 100-step
+        # compiled chunk)
+        def init_carry(chol_flat, m_in, hypers):
+            Ls0 = flat_to_triang(chol_flat, M)
+            m_ = m_in
+            if whiten:
+                # convert (m, S) -> whitened coords at the CURRENT hypers:
+                # v = Lmm^-1 m, chol(S_w) = Lmm^-1 chol(S)
+                mod = self.with_raw_dict(hypers)
+                Kmm0 = mod.kern.K(jnp.asarray(mod.Z)) + CONST_JITTER * eye
+                Lmi0 = jsl.solve_triangular(jnp.linalg.cholesky(Kmm0), eye,
+                                            lower=True)
+                m_ = Lmi0 @ m_
+                Ls0 = jnp.einsum("ij,djk->dik", Lmi0, Ls0)  # lower-tri stays
+            S0_ = jnp.einsum("dij,dkj->dik", Ls0, Ls0)
+            Li0 = jax.vmap(lambda L: jsl.solve_triangular(L, eye, lower=True))(Ls0)
+            Si0 = jnp.einsum("dji,djk->dik", Li0, Li0)  # L^-T L^-1 per output
+            ld0 = 2.0 * jnp.sum(jnp.log(jnp.abs(
+                jnp.diagonal(Ls0, axis1=-2, axis2=-1))))
+            return m_, Ls0, S0_, Si0, ld0
+
+        def write_back(q_mean, S, hypers):
+            # -> (q_u_mean, q_u_chol_flat) in UNwhitened coordinates
+            if use_natgrad:
+                Ls = jnp.linalg.cholesky(S + 1e-10 * eye)
+            else:
+                Ls = jnp.tril(S)  # the plain path carries the factor itself
+            if whiten:
+                # un-whiten at the FINAL hypers: m = Lmm v, chol(S) = Lmm chol(S_w)
+                mod = self.with_raw_dict(hypers)
+                Kmm1 = mod.kern.K(jnp.asarray(mod.Z)) + CONST_JITTER * eye
+                Lmm1 = jnp.linalg.cholesky(Kmm1)
+                q_mean = Lmm1 @ q_mean
+                Ls = jnp.einsum("ij,djk->dik", Lmm1, Ls)
+            return q_mean, triang_to_flat(Ls)
+
         cache_key = (CHUNK, batchsize, use_natgrad, bool(whiten),
                      float(step_size), float(natgrad_step_size),
                      self._data_version(), self.structure_version())
         cached = self.__dict__.get("_fit_chunk_cache")
         if cached is not None and cached[0] == cache_key:
-            run_chunk_j = cached[1]
+            run_chunk_j, init_j, writeback_j = cached[1:]
         else:
             run_chunk_j = jax.jit(run_chunk)
-            self.__dict__["_fit_chunk_cache"] = (cache_key, run_chunk_j)
+            init_j = jax.jit(init_carry)
+            writeback_j = jax.jit(write_back)
+            self.__dict__["_fit_chunk_cache"] = (cache_key, run_chunk_j,
+                                                 init_j, writeback_j)
 
         master = jax.random.PRNGKey(seed)
-        # initial (S^-1, logdet S) from the chol we already hold in the param
-        Ls0 = flat_to_triang(jnp.asarray(self.q_u_chol), M)
-        if whiten:
-            # convert (m, S) -> whitened coords at the CURRENT hypers:
-            # v = Lmm^-1 m, chol(S_w) = Lmm^-1 chol(S)
-            Kmm0 = self.kern.K(jnp.asarray(self.Z)) + CONST_JITTER * eye
-            Lmi0 = jsl.solve_triangular(jnp.linalg.cholesky(Kmm0), eye, lower=True)
-            m0 = Lmi0 @ m0
-            Ls0 = jnp.einsum("ij,djk->dik", Lmi0, Ls0)  # lower-triangular stays
-            S0 = jnp.einsum("dij,dkj->dik", Ls0, Ls0)
-        Li0 = jax.vmap(lambda L: jsl.solve_triangular(L, eye, lower=True))(Ls0)
-        Si0 = jnp.einsum("dji,djk->dik", Li0, Li0)  # L^-T L^-1 per output
-        ld0 = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(Ls0, axis1=-2, axis2=-1))))
+        m0, Ls0, S0, Si0, ld0 = init_j(jnp.asarray(self.q_u_chol), m0, hyper_raw)
         if use_natgrad:
             opt_state = opt.init(hyper_raw)
             carry = (hyper_raw, m0, S0, Si0, ld0, opt_state)
@@ -301,20 +329,11 @@ class SVGP(SparseGP):
             ci += 1
         hypers, q_mean, S, _, _, _ = carry
         trace = jnp.concatenate(traces)
-        # write back
+        # write back (unwhitened coordinates; one jitted dispatch)
         self.set_raw_dict(hypers)
-        if use_natgrad:
-            Ls = jnp.linalg.cholesky(S + 1e-10 * jnp.eye(M, dtype=S.dtype))
-        else:
-            Ls = jnp.tril(S)  # the plain path carries the factor itself
-        if whiten:
-            # un-whiten at the FINAL hypers: m = Lmm v, chol(S) = Lmm chol(S_w)
-            Kmm1 = self.kern.K(jnp.asarray(self.Z)) + CONST_JITTER * eye
-            Lmm1 = jnp.linalg.cholesky(Kmm1)
-            q_mean = Lmm1 @ q_mean
-            Ls = jnp.einsum("ij,djk->dik", Lmm1, Ls)
+        q_mean, chol_flat = writeback_j(q_mean, S, hypers)
         self.q_u_mean.set_value(q_mean)
-        self.q_u_chol.set_value(triang_to_flat(Ls))
+        self.q_u_chol.set_value(chol_flat)
         if messages:
             print(f"SVGP fit: ELBO {float(trace[0]):.2f} -> {float(trace[-1]):.2f}")
         return np.asarray(trace)
