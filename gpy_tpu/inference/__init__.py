@@ -3,10 +3,11 @@ from .exact import LatentFunctionInference, ExactGaussianInference, ExactStudent
 from .posterior import Posterior
 from .laplace import Laplace, LaplaceBlock
 from .ep import EP
-from .var_dtc import VarDTC
+from .var_dtc import VarDTC, VarDTC_minibatch
 from .fitc import FITC, DTC, PEP
-from .svgp import SVGPInference
+from .svgp import SVGPInference, VarDTC_SVI_Multiout, VarDTC_SVI_Multiout_Miss
 from .var_gauss import VarGauss
+from .grid import GaussianGridInference
 from .var_dtc_missing import VarDTCMissingData
 from .epdtc import EPDTC
 
@@ -26,6 +27,10 @@ __all__ = [
     "VarGauss",
     "VarDTCMissingData",
     "EPDTC",
+    "VarDTC_minibatch",
+    "VarDTC_SVI_Multiout",
+    "VarDTC_SVI_Multiout_Miss",
+    "GaussianGridInference",
 ]
 
 from .iterative import IterativeGaussianInference  # noqa: E402,F401

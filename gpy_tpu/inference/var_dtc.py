@@ -20,7 +20,7 @@ from ..util.linalg import jitchol
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
-__all__ = ["VarDTC"]
+__all__ = ["VarDTC", "VarDTC_minibatch"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
 CONST_JITTER = 1e-6
@@ -116,3 +116,93 @@ class VarDTC(LatentFunctionInference):
     def marginal_likelihood(self, kern, X, Z, likelihood, Y, mean_function=None,
                             Y_metadata=None, qX=None):
         return self.inference(kern, X, Z, likelihood, Y, mean_function, Y_metadata, qX)[1]
+
+
+class VarDTC_minibatch(VarDTC):
+    """Collapsed bound with the row dimension streamed in chunks.
+
+    Reference: var_dtc_parallel.py:72-133 (gatherPsiStat — two-phase
+    minibatch accumulation of {psi0, psi1'Y, Psi2, YRY} with an MPI
+    Allreduce) + inference_likelihood :135-230. Here the accumulation is a
+    `lax.scan` over row chunks, so peak memory is O(batchsize*M + M^2)
+    instead of O(N*M): the bound's sufficient statistics are plain sums over
+    rows. The multi-chip analogue (chunks -> shards, scan -> psum) lives in
+    parallel/ (data-parallel collapsed bound). Unlike VarDTC's unsquared
+    A = Li@Kw form, streaming forces accumulating the squared Gram
+    sum_n W_n k_n k_n' — the same quantity the reference Allreduces.
+    """
+
+    def __init__(self, batchsize: int = 2048, limit: int = 1):
+        self.batchsize = int(batchsize)
+
+    def inference(self, kern, X, Z, likelihood, Y, mean_function=None,
+                  Y_metadata=None, qX=None):
+        assert mean_function is None, "VarDTC with mean function: subtract externally"
+        import jax
+        from types import SimpleNamespace
+
+        N, D = Y.shape
+        M = Z.shape[0]
+        dt = Z.dtype
+        W_full = jnp.broadcast_to(
+            jnp.asarray(likelihood.noise_diagonal(N, Y_metadata)), (N,)
+        )
+        W_full = 1.0 / W_full
+        B = min(self.batchsize, N)
+        n_chunks = -(-N // B)
+        pad = n_chunks * B - N
+        # zero-weight padding rows contribute nothing to any accumulated sum
+        Wp = jnp.concatenate([W_full, jnp.zeros((pad,), dtype=W_full.dtype)])
+        Yp = jnp.concatenate([jnp.asarray(Y), jnp.zeros((pad, D), dtype=dt)])
+        if qX is None:
+            Xp = jnp.concatenate([jnp.asarray(X), jnp.zeros((pad, X.shape[1]), dtype=dt)])
+            chunks = (Xp.reshape(n_chunks, B, -1),)
+        else:
+            mu = jnp.asarray(qX.mean)
+            Sv = jnp.asarray(qX.variance)
+            mup = jnp.concatenate([mu, jnp.zeros((pad, mu.shape[1]), dtype=dt)])
+            Svp = jnp.concatenate([Sv, jnp.ones((pad, Sv.shape[1]), dtype=dt)])
+            chunks = (mup.reshape(n_chunks, B, -1), Svp.reshape(n_chunks, B, -1))
+        Wc = Wp.reshape(n_chunks, B)
+        Yc = Yp.reshape(n_chunks, B, D)
+
+        def acc(carry, chunk):
+            psi0_s, psi1WY, Psi2W, yry = carry
+            w, y = chunk[0], chunk[1]
+            if qX is None:
+                xb = chunk[2]
+                kmn = kern.K(Z, xb)  # (M, B)
+                psi0_s = psi0_s + jnp.sum(w * kern.Kdiag(xb))
+                psi1WY = psi1WY + kmn @ (w[:, None] * y)
+                Psi2W = Psi2W + (kmn * w[None, :]) @ kmn.T
+            else:
+                qb = SimpleNamespace(mean=chunk[2], variance=chunk[3])
+                psi0_s = psi0_s + jnp.sum(w * kern.psi0(Z, qb))
+                p1 = kern.psi1(Z, qb)  # (B, M)
+                psi1WY = psi1WY + p1.T @ (w[:, None] * y)
+                Psi2W = Psi2W + jnp.einsum("n,nmk->mk", w, kern.psi2n(Z, qb))
+            yry = yry + jnp.sum(w[:, None] * y * y)
+            return (psi0_s, psi1WY, Psi2W, yry), None
+
+        init = (jnp.zeros((), dtype=dt), jnp.zeros((M, D), dtype=dt),
+                jnp.zeros((M, M), dtype=dt), jnp.zeros((), dtype=dt))
+        (psi0_sum, psi1WY, Psi2W, YRY), _ = jax.lax.scan(
+            acc, init, (Wc, Yc) + chunks)
+
+        Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=dt)
+        L = jitchol(Kmm)
+        Li = jsl.solve_triangular(L, jnp.eye(M, dtype=dt), lower=True)
+        AAT = Li @ Psi2W @ Li.T
+        AAT = 0.5 * (AAT + AAT.T)
+        LB = jitchol(jnp.eye(M, dtype=dt) + AAT)
+        c = jsl.solve_triangular(LB, Li @ psi1WY, lower=True)
+        log_marginal = (
+            -0.5 * N * D * LOG_2_PI
+            + 0.5 * D * jnp.sum(jnp.log(W_full))
+            - D * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            - 0.5 * YRY
+            + 0.5 * jnp.sum(c * c)
+            - 0.5 * D * (psi0_sum - jnp.trace(AAT))
+        )
+        posterior = self._posterior(kern, Z, L, LB, c)
+        return posterior, log_marginal

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from ..core.transformations import Logexp
 from .kern import Kern
 
-__all__ = ["Linear", "LinearFull", "TruncLinear"]
+__all__ = ["Linear", "LinearFull", "TruncLinear", "TruncLinear_inf"]
 
 
 class Linear(Kern):
@@ -113,3 +113,47 @@ class TruncLinear(Kern):
         d = jnp.asarray(self.delta)
         v = jnp.asarray(self.variances)
         return jnp.sum(v * (X - d) ** 2, axis=-1)
+
+
+class TruncLinear_inf(Kern):
+    """Truncated-linear kernel integrated over a break-point interval.
+
+    k(x,x') = sum_q v_q * int_{a}^{b} max(0, x_q-c) max(0, x'_q-c) dc with the
+    closed form |x-x'|^3/6 + x x'(b-a) - (x+x')(b^2-a^2)/2 + (b^3-a^3)/3.
+    GPy: trunclinear.py:110-199 (K:151-162, Kdiag:164-167).
+    """
+
+    def __init__(self, input_dim, interval, variances=None, ARD=False,
+                 active_dims=None, name="trunclinear_inf"):
+        super().__init__(input_dim, active_dims, name)
+        self.ARD = bool(ARD)
+        self.interval = (float(interval[0]), float(interval[1]))
+        if variances is None:
+            variances = np.ones(input_dim) if ARD else 1.0
+        self._add_param("variances", variances, transform=Logexp())
+
+    def _product(self, X, X2):
+        a, b = self.interval
+        d = X[:, None, :] - X2[None, :, :]
+        return (
+            jnp.abs(d) ** 3 / 6.0
+            + X[:, None, :] * X2[None, :, :] * (b - a)
+            - (X[:, None, :] + X2[None, :, :]) * (b * b - a * a) / 2.0
+            + (b**3 - a**3) / 3.0
+        )
+
+    def K(self, X, X2=None):
+        X, X2 = self._slice(X), self._slice(X2)
+        if X2 is None:
+            X2 = X
+        return jnp.sum(jnp.asarray(self.variances) * self._product(X, X2), axis=-1)
+
+    def Kdiag(self, X):
+        X = self._slice(X)
+        a, b = self.interval
+        tmp = (
+            jnp.square(X) * (b - a)
+            - X * (b * b - a * a)
+            + (b**3 - a**3) / 3.0
+        )
+        return jnp.sum(jnp.asarray(self.variances) * tmp, axis=-1)

@@ -101,51 +101,20 @@ class GPRegressionGrid(Model):
         self.kernels = list(kernels)
         self._add_param("noise_var", noise_var, transform=Logexp())
 
-    def _eigs(self):
-        out = []
-        for k, X in zip(self.kernels, self.axes):
-            S, Q = jnp.linalg.eigh(k.K(X))
-            out.append((S, Q))
-        return out
-
-    @staticmethod
-    def _rotate_all(Y, Qs, transpose=True):
-        """Apply Q_d^T along each axis d of the grid tensor."""
-        T = Y
-        D = len(Qs)
-        for d, Q in enumerate(Qs):
-            M = Q.T if transpose else Q
-            T = jnp.moveaxis(jnp.tensordot(M, jnp.moveaxis(T, d, 0), axes=1), 0, d)
-        return T
-
     def log_likelihood(self):
-        eigs = self._eigs()
-        Qs = [Q for _, Q in eigs]
-        Ss = [S for S, _ in eigs]
-        sigma2 = jnp.asarray(self.noise_var)
-        Ytil = self._rotate_all(self.Y, Qs, transpose=True)
-        # kron eigenvalue grid
-        S = Ss[0]
-        for Sd in Ss[1:]:
-            S = S[..., None] * Sd
-        S = S + sigma2
-        N = self.Y.size
-        return -0.5 * (
-            N * LOG_2_PI + jnp.sum(jnp.log(jnp.maximum(S, 1e-300))) + jnp.sum(Ytil**2 / S)
-        )
+        from ..inference.grid import GaussianGridInference
+
+        return GaussianGridInference().inference(
+            self.kernels, self.axes, self.noise_var, self.Y)[1]
 
     def predict(self, Xnew_list):
         """Mean/var over the tensor grid of the new per-axis points."""
-        eigs = self._eigs()
-        Qs = [Q for _, Q in eigs]
-        Ss = [S for S, _ in eigs]
+        from ..inference.grid import GaussianGridInference
+
+        post, _ = GaussianGridInference().inference(
+            self.kernels, self.axes, self.noise_var, self.Y)
+        eigs, S, alpha = post.eigs, post.S, post.alpha
         sigma2 = jnp.asarray(self.noise_var)
-        Ytil = self._rotate_all(self.Y, Qs, transpose=True)
-        S = Ss[0]
-        for Sd in Ss[1:]:
-            S = S[..., None] * Sd
-        S = S + sigma2
-        alpha = self._rotate_all(Ytil / S, Qs, transpose=False)
         Ks = [k.K(jnp.asarray(np.asarray(Xn, float)), X) for k, Xn, X in
               zip(self.kernels, Xnew_list, self.axes)]
         mu = alpha

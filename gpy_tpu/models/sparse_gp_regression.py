@@ -38,14 +38,18 @@ class SparseGPRegression(SparseGP):
             kernel = RBF(np.asarray(X).shape[1])
         if Z is None:
             Z = _default_Z(X, num_inducing)
-        if X_variance is not None and infer != "vardtc":
+        if X_variance is not None and not (
+                infer == "vardtc" or isinstance(infer, VarDTC)):
             raise ValueError("uncertain inputs need the VarDTC bound")
-        inference = {
-            "vardtc": lambda: VarDTC(),
-            "fitc": lambda: FITC(),
-            "dtc": lambda: DTC(),
-            "pep": lambda: PEP(pep_alpha),
-        }[infer]()
+        if isinstance(infer, str):
+            inference = {
+                "vardtc": lambda: VarDTC(),
+                "fitc": lambda: FITC(),
+                "dtc": lambda: DTC(),
+                "pep": lambda: PEP(pep_alpha),
+            }[infer]()
+        else:  # an inference instance, e.g. VarDTC_minibatch(batchsize=...)
+            inference = infer
         super().__init__(
             X, Y, Z, kernel, Gaussian(variance=noise_var),
             inference_method=inference, mean_function=mean_function,

@@ -28,6 +28,10 @@ GPY_KERNELS = [
     "Integral", "Integral_Limits", "Multidimensional_Integral_Limits", "GridRBF",
     # sympy-defined kernels (GPy: kern/src/symbolic.py)
     "Symbolic",
+    # state-space-ready names (GPy kern/__init__.py:65-71) + remaining exports
+    "sde_Matern32", "sde_Matern52", "sde_Exponential", "sde_RBF", "sde_RatQuad",
+    "sde_StdPeriodic", "sde_Linear", "sde_White", "sde_Bias", "sde_Brownian",
+    "DiffGenomeKern", "TruncLinear_inf",
 ]
 
 GPY_LIKELIHOODS = [
@@ -60,7 +64,8 @@ GPY_INFERENCE = [
     "ExactGaussianInference", "ExactStudentTInference", "Laplace",
     "LaplaceBlock", "EP",
     "EPDTC", "VarDTC", "FITC", "DTC", "PEP", "SVGPInference", "VarGauss",
-    "VarDTCMissingData",
+    "VarDTCMissingData", "VarDTC_minibatch", "GaussianGridInference",
+    "VarDTC_SVI_Multiout", "VarDTC_SVI_Multiout_Miss",
 ]
 
 GPY_PRIORS = [
