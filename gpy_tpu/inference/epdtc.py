@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax import lax
 
-from ..util.linalg import jitchol
+from ..util.linalg import jitchol, jitchol_and_inv
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
@@ -114,11 +114,11 @@ class EPDTC(LatentFunctionInference):
         assert mean_function is None
         M = Z.shape[0]
         Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-        Lm = jitchol(Kmm)
+        # fused factor+inverse with matmul-only VJP (util.linalg); the
+        # (M, N) whitening is a matmul on the MXU instead of a
+        # sequential-blocked N-RHS trsm
+        Lm, Lmi = jitchol_and_inv(Kmm)
         Kmn = kern.K(Z, X)
-        # invert the M x M factor once; the (M, N) whitening is a matmul on
-        # the MXU instead of a sequential-blocked N-RHS trsm
-        Lmi = jsl.solve_triangular(Lm, jnp.eye(M, dtype=Z.dtype), lower=True)
         R = Lmi @ Kmn  # (M, N)
         N = R.shape[1]
         cache = self._site_cache

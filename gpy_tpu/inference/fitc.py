@@ -13,7 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..util.linalg import jitchol
+from ..util.linalg import jitchol, jitchol_and_inv
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
@@ -34,10 +34,10 @@ def _pep_core(kern, X, Z, likelihood, Y, Y_metadata, alpha):
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
     Knn = kern.Kdiag(X)
     U = kern.K(X, Z)  # (N, M)
-    L = jitchol(Kmm)
-    # invert the M x M factor once; the (M, N) projection is then a matmul
-    # on the MXU instead of a sequential-blocked trsm with N RHS
-    Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
+    # fused factor+inverse with matmul-only VJP (util.linalg); the (M, N)
+    # projection is then a matmul on the MXU instead of a sequential-blocked
+    # trsm with N RHS
+    L, Li = jitchol_and_inv(Kmm)
     LiUT = Li @ U.T  # (M, N)
     Qnn = jnp.sum(LiUT**2, axis=0)
     sigma_star = sigma_n + alpha * (Knn - Qnn)
@@ -89,8 +89,7 @@ class DTC(LatentFunctionInference):
         beta = jnp.broadcast_to(1.0 / sigma_n, (N,))
         Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
         U = kern.K(X, Z)
-        L = jitchol(Kmm)
-        Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
+        L, Li = jitchol_and_inv(Kmm)
         LiUT = Li @ U.T
         A = (LiUT * beta[None, :]) @ LiUT.T + jnp.eye(M, dtype=Z.dtype)
         LA = jitchol(A)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..util.choleskies import flat_to_triang
-from ..util.linalg import jitchol
+from ..util.linalg import jitchol, chol_and_inv
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
@@ -41,11 +41,11 @@ def q_f_marginals(kern, X, Z, q_u_mean, L_u):
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
     # explicit jitter already added: plain cholesky (no ladder probe) keeps
     # the training hot path at one factorization
-    Lmm = jnp.linalg.cholesky(Kmm)
+    # chol_and_inv: fused (Lmm, Lmm^-1) whose VJP is pure matmuls reusing
+    # Lmi — removes the 3 sequential trsm ops JAX's stock chol/trsm pullbacks
+    # emit (the step is latency-bound on 512-size triangular ops)
+    Lmm, Lmi = chol_and_inv(Kmm)
     Kmn = kern.K(Z, X)  # (M, N)
-    # trsm against (M, N) RHS is sequential-blocked; invert the M x M factor
-    # once and use matmuls (same strategy as svgp_elbo_parts_S)
-    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M, dtype=Z.dtype), lower=True)
     C = Lmi @ Kmn  # Lmm^-1 Kmn, (M, N)
     A = Lmi.T @ C  # Kmm^-1 Kmn, (M, N)
     mu = A.T @ q_u_mean  # (N, D)
@@ -89,9 +89,8 @@ def q_f_marginals_white(kern, X, Z, v_m, L_w):
     """
     M = Z.shape[0]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-    Lmm = jnp.linalg.cholesky(Kmm)
+    Lmm, Lmi = chol_and_inv(Kmm)
     Kmn = kern.K(Z, X)
-    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M, dtype=Z.dtype), lower=True)
     C = Lmi @ Kmn  # (M, N)
     mu = C.T @ v_m
     Kdiag = kern.Kdiag(X)
@@ -157,10 +156,8 @@ def svgp_elbo_parts_S(kern, X, Z, likelihood, Y, q_u_mean, S, logdet_S,
     M = Z.shape[0]
     D = Y.shape[1]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-    Lmm = jnp.linalg.cholesky(Kmm)
+    Lmm, Lmi = chol_and_inv(Kmm)  # matmul-only VJP (see util.linalg)
     Kmn = kern.K(Z, X)
-    eye = jnp.eye(M, dtype=Z.dtype)
-    Lmi = jsl.solve_triangular(Lmm, eye, lower=True)  # (M, M) lower
     C = Lmi @ Kmn  # whitened cross-cov (M, N) — pure matmul
     Li_m = Lmi @ q_u_mean  # (M, D)
     mu = C.T @ Li_m
@@ -198,9 +195,8 @@ def svgp_elbo_parts_S_white(kern, X, Z, likelihood, Y, v_m, S_w, logdet_Sw,
     M = Z.shape[0]
     D = Y.shape[1]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-    Lmm = jnp.linalg.cholesky(Kmm)
+    Lmm, Lmi = chol_and_inv(Kmm)
     Kmn = kern.K(Z, X)
-    Lmi = jsl.solve_triangular(Lmm, jnp.eye(M, dtype=Z.dtype), lower=True)
     C = Lmi @ Kmn  # (M, N)
     mu = C.T @ v_m
     if mean_function is not None:

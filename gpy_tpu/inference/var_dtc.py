@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..util.linalg import jitchol
+from ..util.linalg import jitchol, jitchol_and_inv
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
@@ -36,10 +36,10 @@ def _sparse_terms(kern, X, Z, W, Y, qX=None):
     """
     M = Z.shape[0]
     Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-    L = jitchol(Kmm)
-    # one M x M triangular inverse; the O(N M^2) work then stays on the MXU
-    # as plain matmuls instead of a sequential-blocked trsm with N RHS
-    Li = jsl.solve_triangular(L, jnp.eye(M, dtype=Z.dtype), lower=True)
+    # fused factor+inverse: matmul-only VJP reusing Li (util.linalg); the
+    # O(N M^2) work then stays on the MXU as plain matmuls instead of a
+    # sequential-blocked trsm with N RHS
+    L, Li = jitchol_and_inv(Kmm)
     if qX is None:
         Kmn = kern.K(Z, X)  # (M, N)
         # A = Li @ KW (matmul, not trsm) BEFORE squaring: sandwiching the
@@ -190,8 +190,7 @@ class VarDTC_minibatch(VarDTC):
             acc, init, (Wc, Yc) + chunks)
 
         Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=dt)
-        L = jitchol(Kmm)
-        Li = jsl.solve_triangular(L, jnp.eye(M, dtype=dt), lower=True)
+        L, Li = jitchol_and_inv(Kmm)
         AAT = Li @ Psi2W @ Li.T
         AAT = 0.5 * (AAT + AAT.T)
         LB = jitchol(jnp.eye(M, dtype=dt) + AAT)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from ..util.linalg import jitchol
+from ..util.linalg import jitchol, jitchol_and_inv
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
@@ -34,7 +34,7 @@ class VarDTCMissingData(LatentFunctionInference):
     def _common(self, kern, X, Z, qX):
         M = Z.shape[0]
         Kmm = kern.K(Z) + CONST_JITTER * jnp.eye(M, dtype=Z.dtype)
-        L = jitchol(Kmm)
+        L, Li = jitchol_and_inv(Kmm)  # matmul-only VJP (util.linalg)
         if qX is None:
             Kmn = kern.K(Z, X)  # (M, N)
             psi0 = kern.Kdiag(X)
@@ -43,7 +43,7 @@ class VarDTCMissingData(LatentFunctionInference):
             Kmn = kern.psi1(Z, qX).T
             psi0 = kern.psi0(Z, qX)
             psi2n = kern.psi2n(Z, qX)
-        return Kmm, L, Kmn, psi0, psi2n
+        return Kmm, L, Li, Kmn, psi0, psi2n
 
     def marginal_likelihood(self, kern, X, Z, likelihood, Y, mean_function=None,
                             Y_metadata=None, qX=None):
@@ -54,11 +54,10 @@ class VarDTCMissingData(LatentFunctionInference):
         Y0 = jnp.nan_to_num(Y)
         sigma2 = likelihood.gaussian_variance(Y_metadata)
         Wfull = mask / sigma2  # (N, D) per-entry precision
-        Kmm, L, Kmn, psi0, psi2n = self._common(kern, X, Z, qX)
+        Kmm, L, Li, Kmn, psi0, psi2n = self._common(kern, X, Z, qX)
         eyeM = jnp.eye(M, dtype=Z.dtype)
-        # one M x M triangular inverse shared by every output's vmapped bound:
-        # the per-output (M, N) projections become matmuls (no batched trsm)
-        Li = jsl.solve_triangular(L, eyeM, lower=True)
+        # the shared M x M inverse makes every output's vmapped (M, N)
+        # projection a matmul (no batched trsm)
 
         def bound_d(W, y):
             # W, y: (N,)
@@ -101,9 +100,8 @@ class VarDTCMissingData(LatentFunctionInference):
         mask = jnp.asarray(~jnp.isnan(Y), dtype=Z.dtype)
         Y0 = jnp.nan_to_num(Y)
         sigma2 = likelihood.gaussian_variance(Y_metadata)
-        Kmm, L, Kmn, psi0, psi2n = self._common(kern, X, Z, qX)
+        Kmm, L, Li, Kmn, psi0, psi2n = self._common(kern, X, Z, qX)
         eyeM = jnp.eye(M, dtype=Z.dtype)
-        Li = jsl.solve_triangular(L, eyeM, lower=True)
 
         def post_d(W, y):
             if psi2n is None:

@@ -119,16 +119,15 @@ def svgp_whiten_raw(model, raw=None):
     """Convert the (q_u_mean, q_u_chol) entries of a raw dict to whitened
     coordinates at the dict's own hypers: v = Lmm^-1 m, L_w = Lmm^-1 L.
     Returns a new raw dict for use with sharded_svgp_train_step(whiten=True)."""
-    import jax.scipy.linalg as jsl
     from ..inference.svgp import CONST_JITTER
     from ..util.choleskies import flat_to_triang, triang_to_flat
+    from ..util.linalg import chol_and_inv
 
     raw = dict(raw if raw is not None else model.get_raw_dict(free_only=True))
     m = model.with_raw_dict(raw)
     M = m.Z.shape[0]
     eye = jnp.eye(M, dtype=jnp.asarray(m.Z).dtype)
-    Lmm = jnp.linalg.cholesky(m.kern.K(jnp.asarray(m.Z)) + CONST_JITTER * eye)
-    Lmi = jsl.solve_triangular(Lmm, eye, lower=True)
+    Lmm, Lmi = chol_and_inv(m.kern.K(jnp.asarray(m.Z)) + CONST_JITTER * eye)
     L_u = flat_to_triang(jnp.asarray(m.q_u_chol), M)
     raw["q_u_mean"] = Lmi @ jnp.asarray(m.q_u_mean)
     raw["q_u_chol"] = triang_to_flat(jnp.einsum("ij,djk->dik", Lmi, L_u))

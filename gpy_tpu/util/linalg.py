@@ -39,7 +39,83 @@ __all__ = [
     "logdet_from_chol",
     "safe_sqrt",
     "cho_solve",
+    "chol_and_inv",
+    "jitchol_and_inv",
 ]
+
+
+def chol_and_inv(K: jax.Array):
+    """L = chol(K) (lower) and Li = L^-1, with a matmul-only backward pass.
+
+    Hot loops that are latency-bound on small-matrix linalg (the SVGP step at
+    M=512) pay for every sequential triangular op: JAX's stock VJPs emit two
+    triangular solves for chol and one more for the explicit-inverse trsm.
+    Since the forward already materializes Li, the exact same pullback can be
+    written as five matmuls: fold the inverse cotangent into L's
+    (dLi = -Li dL Li  =>  L_bar += -Li' Li_bar Li'), then the standard
+    Cholesky pullback K_bar = Li' phi(L' L_bar) Li with phi = tril, diagonal
+    halved (the adjoint of JAX's cholesky JVP L_dot = L phi(Li dK Li'), so
+    gradients match the native ops exactly).
+
+    Reference equivalents: GPy util/linalg.py jitchol:56 + dtrtri:217; the
+    hand-written gradient plumbing this replaces is
+    GPy/util/choleskies_cython.pyx backprop_gradient:43-82.
+
+    Supports leading batch dimensions.
+    """
+    return _chol_and_inv(K, False)
+
+
+def jitchol_and_inv(K: jax.Array):
+    """`jitchol` + explicit factor inverse with the same matmul-only VJP.
+
+    The jitter-ladder escalation is a data-independent diagonal perturbation:
+    the pullback formula is exact for the factored matrix (K + jitter*I), so
+    the custom backward is unchanged.
+    """
+    return _chol_and_inv(K, True)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _chol_and_inv(K, use_ladder):
+    if use_ladder:
+        L = jitchol(K)
+    else:
+        L = cholesky_auto(K) if K.ndim == 2 else jnp.linalg.cholesky(K)
+    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
+    if K.ndim == 2:
+        # blocked recursive trsm above the crossover (ops/blocked_linalg.py)
+        Li = solve_lower_auto(L, eye)
+    else:
+        Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return L, Li
+
+
+def _chol_and_inv_fwd(K, use_ladder):
+    out = _chol_and_inv(K, use_ladder)
+    return out, out
+
+
+def _chol_and_inv_bwd(use_ladder, res, cot):
+    L, Li = res
+    L_bar, Li_bar = cot
+    LiT = jnp.swapaxes(Li, -1, -2)
+    Lb = L_bar - LiT @ Li_bar @ LiT
+    P = jnp.tril(jnp.swapaxes(L, -1, -2) @ Lb)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    P = P - 0.5 * P * eye  # halve the diagonal (phi)
+    Kb = LiT @ P @ Li
+    # K is symmetric: only the symmetric part of the cotangent is
+    # well-defined (it matches JAX's native chol+trsm pullback to machine
+    # precision; the antisymmetric split is arbitrary and unobservable
+    # through any symmetric K-builder). Return the canonical symmetric form.
+    return (0.5 * (Kb + jnp.swapaxes(Kb, -1, -2)),)
+
+
+_chol_and_inv.defvjp(_chol_and_inv_fwd, _chol_and_inv_bwd)
 
 
 def tdot(A: jax.Array) -> jax.Array:

@@ -245,3 +245,70 @@ def test_trace_propagates_exceptions():
     with pytest.raises(ValueError, match="original2"):
         with log_compiles(False):
             raise ValueError("original2")
+
+
+def test_chol_and_inv_matches_native_ops():
+    """chol_and_inv's matmul-only custom VJP must reproduce JAX's native
+    chol+trsm pullback (symmetric part; the antisymmetric split of the K
+    cotangent is unobservable through any symmetric K-builder)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+    from gpy_tpu.util.linalg import chol_and_inv, jitchol_and_inv
+
+    rng = np.random.default_rng(3)
+    n = 6
+    A = rng.standard_normal((n, n))
+    K0 = jnp.asarray(A @ A.T + n * np.eye(n))
+    C_L = jnp.asarray(rng.standard_normal((n, n)))
+    C_Li = jnp.asarray(rng.standard_normal((n, n)))
+
+    def f_native(K):
+        L = jnp.linalg.cholesky(K)
+        Li = jsl.solve_triangular(L, jnp.eye(n, dtype=K.dtype), lower=True)
+        return jnp.sum(C_L * jnp.sin(L)) + jnp.sum(C_Li * jnp.cos(Li))
+
+    def f_fused(K):
+        L, Li = chol_and_inv(K)
+        return jnp.sum(C_L * jnp.sin(L)) + jnp.sum(C_Li * jnp.cos(Li))
+
+    L1, Li1 = chol_and_inv(K0)
+    np.testing.assert_allclose(np.asarray(L1), np.linalg.cholesky(np.asarray(K0)), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Li1 @ L1), np.eye(n), atol=1e-9)
+
+    v1, g1 = jax.value_and_grad(f_native)(K0)
+    v2, g2 = jax.value_and_grad(f_fused)(K0)
+    assert abs(float(v1 - v2)) < 1e-12
+    sym = lambda G: 0.5 * (G + G.T)
+    np.testing.assert_allclose(np.asarray(sym(g1)), np.asarray(sym(g2)), atol=1e-10)
+
+    # jitchol variant: same factorization on a clean matrix, same pullback
+    L3, Li3 = jitchol_and_inv(K0)
+    np.testing.assert_allclose(np.asarray(L3), np.asarray(L1), atol=1e-10)
+
+    def f_jit(K):
+        L, Li = jitchol_and_inv(K)
+        return jnp.sum(C_L * jnp.sin(L)) + jnp.sum(C_Li * jnp.cos(Li))
+
+    g3 = jax.grad(f_jit)(K0)
+    np.testing.assert_allclose(np.asarray(sym(g3)), np.asarray(sym(g1)), atol=1e-10)
+
+    # batched + vmap
+    Kb = jnp.stack([K0, K0 + jnp.eye(n)])
+    Lb, Lib = chol_and_inv(Kb)
+    assert Lb.shape == (2, n, n)
+    np.testing.assert_allclose(np.asarray(Lib @ Lb), np.broadcast_to(np.eye(n), (2, n, n)), atol=1e-9)
+
+    def fb(K):
+        L, Li = chol_and_inv(K)
+        return jnp.sum(L**2) + jnp.sum(Li * 0.3)
+
+    def fbn(K):
+        L = jnp.linalg.cholesky(K)
+        return jnp.sum(L**2) + jnp.sum(jnp.linalg.inv(L) * 0.3)
+
+    gb = jax.grad(lambda K: jnp.sum(jax.vmap(fb)(K)))(Kb)
+    gbn = jax.grad(lambda K: jnp.sum(jax.vmap(fbn)(K)))(Kb)
+    symb = 0.5 * (gb + jnp.swapaxes(gb, -1, -2))
+    symbn = 0.5 * (gbn + jnp.swapaxes(gbn, -1, -2))
+    np.testing.assert_allclose(np.asarray(symb), np.asarray(symbn), atol=1e-9)
