@@ -20,6 +20,7 @@ __all__ = [
     "diag_view", "diag_add",
     "block", "unblock", "block_dot",
     "conf_matrix",
+    "logPdfNormal", "logCdfNormal", "inv_std_norm_cdf",
     "common_subarrays",
 ]
 
@@ -38,6 +39,21 @@ cdfNormal = std_norm_cdf
 
 def logPhi(x):
     return log_ndtr(x)
+
+
+# reference-name aliases (GPy util/univariate_Gaussian.py:26/54/14)
+def logPdfNormal(z):
+    return norm.logpdf(z)
+
+
+logCdfNormal = logPhi
+
+
+def inv_std_norm_cdf(x):
+    """Quantile of the standard normal (GPy: util/univariate_Gaussian.py:14)."""
+    from jax.scipy.special import ndtri
+
+    return ndtri(x)
 
 
 def derivLogCdfNormal(x):
