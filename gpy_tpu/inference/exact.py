@@ -13,12 +13,19 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..util.linalg import dpotrs, jitchol, logdet_from_chol
+from ..util.linalg import dpotrs, jitchol, jitchol_and_inv, logdet_from_chol
 from .posterior import Posterior
 
 __all__ = ["ExactGaussianInference", "ExactStudentTInference"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
+
+# Below this N the NLML+grad is latency-bound on sequential triangular ops
+# and the explicit-inverse formulation (jitchol_and_inv: matmul-only VJP)
+# wins; above it the extra O(N^3) inversion flops dominate. Measured on
+# v5e-1 f32: N=1024 -13%, N=2048 +36%, N=4096 +38% — crossover ~1.5k.
+# This is the regime HMC leapfrog steps live in (BASELINE HMC config N=1000).
+EXPLICIT_INV_MAX_N = 1024
 
 
 class LatentFunctionInference:
@@ -49,11 +56,18 @@ class ExactGaussianInference(LatentFunctionInference):
         K = kern.K(X)
         noise = likelihood.noise_diagonal(N, Y_metadata) + 1e-8
         Ky = K + jnp.diag(noise)
-        L = jitchol(Ky)
-        alpha = dpotrs(L, YY)
+        if N <= EXPLICIT_INV_MAX_N:
+            L, Li = jitchol_and_inv(Ky)
+            t = Li @ YY  # whitened targets: quad form = |t|^2, alpha = Li' t
+            alpha = jnp.swapaxes(Li, -1, -2) @ t
+            quad = jnp.sum(t * t)
+        else:
+            L = jitchol(Ky)
+            alpha = dpotrs(L, YY)
+            quad = jnp.sum(alpha * YY)
         logdet = logdet_from_chol(L)
         log_marginal = -0.5 * (
-            D * N * LOG_2_PI + D * logdet + jnp.sum(alpha * YY)
+            D * N * LOG_2_PI + D * logdet + quad
         )
         posterior = Posterior(woodbury_chol=L, woodbury_vector=alpha, K=K)
         return posterior, log_marginal
