@@ -109,6 +109,12 @@ class GP(Model):
     # --- prediction --------------------------------------------------------
     def _raw_predict(self, Xnew, full_cov=False, kern=None):
         kern = kern or self.kern
+        if hasattr(Xnew, "mean") and hasattr(Xnew, "variance"):
+            # uncertain inputs: Xnew is a variational posterior q(X*)
+            # (GPy: predict(Xnew=VariationalPosterior) -> psi-statistics
+            # branch of posterior.py:249-270). Mean functions of a random
+            # input have no closed-form expectation here, matching GPy.
+            return self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
         Xnew = jnp.asarray(np.asarray(Xnew, dtype=float), dtype=self.X.dtype)
         mu, var = self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
         if self.mean_function is not None:
@@ -235,49 +241,83 @@ class GP(Model):
         logp = self.likelihood.logpdf(fs, jnp.asarray(y)[None], Y_metadata)
         return np.asarray(jax.scipy.special.logsumexp(logp, axis=0) - jnp.log(num_samples))
 
-    def infer_newX(self, Y_new, optimize_iters=200, lr=1e-2, seed=0):
-        """MAP latent positions X* for new observations Y* on a trained
-        latent-variable GP: maximize sum log p(y*_d | f(x*)) under the
-        current posterior, by Adam on X*. GPy: gp.py:686-698 +
-        inference/latent_function_inference/inferenceX.py (which builds a
-        throwaway gradient model; here it is one jitted ascent loop)."""
+    def infer_newX(self, Y_new, optimize_iters=200, lr=1e-2, seed=0, variational=False):
+        """Latent positions X* for new observations Y* on a trained
+        latent-variable GP. GPy: gp.py:686-698 +
+        inference/latent_function_inference/inferenceX.py:1-173 (which builds
+        a throwaway gradient model; here it is one jitted ascent loop).
+
+        variational=False (default): MAP point estimate — maximize
+        sum_d log p(y*_d | f(x*)) under the current posterior, by Adam on X*.
+        Returns (X*, log_likelihood).
+
+        variational=True: optimize a full q(X*) = prod N(mu, diag(S))
+        (the reference's InferenceX path when the source model is Bayesian,
+        inferenceX.py:35-60): maximize E_q[log p(y*|f*)] - KL(q || N(0,I))
+        with E_q taken through the psi-statistics posterior predictive
+        (posterior.py:249-270). Returns (NormalPosterior q(X*), elbo).
+        """
         import optax
 
         Y_new = jnp.asarray(np.asarray(Y_new, dtype=float))
         if self.normalizer is not None:
             Y_new = jnp.asarray(self.normalizer.normalize(np.asarray(Y_new)))
-        n_new = Y_new.shape[0]
         pv = self._predictive_variable
-        Q = pv.shape[1]
         post = self.posterior
         kern = self.kern.stop_gradient() if hasattr(self.kern, "stop_gradient") else self.kern
         noise = jnp.asarray(self.likelihood.variance) if hasattr(self.likelihood, "variance") else 1e-6
 
-        def neg_logp(Xs):
-            mu, var = post._raw_predict(kern, Xs, pv, full_cov=False)
-            v = var + noise
-            return 0.5 * jnp.sum((Y_new - mu) ** 2 / v + jnp.log(2 * jnp.pi * v))
-
-        # init at the training latent nearest in data space
+        # init mean at the training latent nearest in data space
         Ytr = jnp.asarray(self.Y_normalized)
         d2 = jnp.sum((Y_new[:, None, :] - Ytr[None]) ** 2, -1)
         X0 = pv[jnp.argmin(d2, axis=1)]
+
+        if variational:
+            from types import SimpleNamespace
+
+            def neg_elbo(params):
+                mu_x, raw_S = params
+                S = jnp.exp(raw_S)
+                qX = SimpleNamespace(mean=mu_x, variance=S)
+                mu, var = post._raw_predict(kern, qX, pv, full_cov=False)
+                # E_q E_{p(f|x)}[(y - f)^2] = (y - mu)^2 + Var[f*] (total)
+                ell = -0.5 * jnp.sum(
+                    ((Y_new - mu) ** 2 + var) / noise + jnp.log(2 * jnp.pi * noise)
+                )
+                kl = 0.5 * jnp.sum(mu_x**2 + S - jnp.log(S) - 1.0)
+                return -(ell - kl)
+
+            params0 = (X0, jnp.full_like(X0, jnp.log(0.5)))
+        else:
+
+            def neg_elbo(Xs):
+                mu, var = post._raw_predict(kern, Xs, pv, full_cov=False)
+                v = var + noise
+                return 0.5 * jnp.sum((Y_new - mu) ** 2 / v + jnp.log(2 * jnp.pi * v))
+
+            params0 = X0
+
         opt = optax.adam(lr)
-        state = opt.init(X0)
+        state = opt.init(params0)
 
         def step(carry, _):
-            Xs, state = carry
-            val, g = jax.value_and_grad(neg_logp)(Xs)
-            updates, state = opt.update(g, state, Xs)
-            return (optax.apply_updates(Xs, updates), state), val
+            p, state = carry
+            val, g = jax.value_and_grad(neg_elbo)(p)
+            updates, state = opt.update(g, state, p)
+            return (optax.apply_updates(p, updates), state), val
 
         # whole ascent as one scan — a per-step host loop is dispatch-bound
         @jax.jit
-        def run(X0, state):
-            return jax.lax.scan(step, (X0, state), None, length=optimize_iters)
+        def run(p0, state):
+            return jax.lax.scan(step, (p0, state), None, length=optimize_iters)
 
-        (Xs, _), vals = run(X0, state)
-        return np.asarray(Xs), -float(vals[-1])
+        (p, _), vals = run(params0, state)
+        if variational:
+            from .variational import NormalPosterior
+
+            qX = NormalPosterior(np.asarray(p[0]), np.asarray(jnp.exp(p[1])))
+            return qX, -float(vals[-1])
+        return np.asarray(p), -float(vals[-1])
 
     def posterior_covariance_between_points(self, X1, X2, kern=None):
         """GPy: gp.py:735-786."""

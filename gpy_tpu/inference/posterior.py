@@ -76,8 +76,30 @@ class Posterior:
             return self._K - self._K @ self.woodbury_inv @ self._K
         return self._covariance
 
-    # --- prediction (GPy posterior.py:273-302 PosteriorExact._raw_predict)
+    # --- prediction (GPy posterior.py:220-302; the variational branch is
+    # Posterior._raw_predict's psi-statistics path at posterior.py:249-270)
     def _raw_predict(self, kern, Xnew, pred_var, full_cov: bool = False):
+        if hasattr(Xnew, "mean") and hasattr(Xnew, "variance"):
+            # Uncertain inputs: Xnew is a variational posterior q(X*) =
+            # prod_n N(mu_n, diag(S_n)). Predict through the psi statistics:
+            #   mu_* = psi1 la,   la = woodbury_vector
+            #   var_* = la' (psi2_n - psi1 psi1') la + psi0 - tr(Winv psi2_n)
+            # (total variance: E_q Var[f|x] + Var_q E[f|x].)
+            psi0 = kern.psi0(pred_var, Xnew)          # (N,)
+            psi1 = kern.psi1(pred_var, Xnew)          # (N, M)
+            psi2n = kern.psi2n(pred_var, Xnew)        # (N, M, M)
+            la = self.woodbury_vector                  # (M, D)
+            mu = psi1 @ la
+            if full_cov:
+                raise NotImplementedError(
+                    "full_cov with uncertain inputs is not implemented "
+                    "(matches GPy posterior.py:258)"
+                )
+            tmp = psi2n - psi1[:, :, None] * psi1[:, None, :]
+            var = jnp.einsum("nmk,md,kd->nd", tmp, la, la) + psi0[:, None]
+            Winv = self.woodbury_inv
+            var = var - jnp.einsum("nmk,mk->n", psi2n, Winv)[:, None]
+            return mu, jnp.maximum(var, 1e-15)
         Kx = kern.K(pred_var, Xnew)  # (M, N*)
         mu = Kx.T @ self.woodbury_vector
         if full_cov:

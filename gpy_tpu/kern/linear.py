@@ -45,14 +45,23 @@ class Linear(Kern):
         X = self._slice(X)
         return jnp.sum(jnp.asarray(self.variances) * X * X, axis=-1)
 
+    # spike-and-slab variant dispatches on the posterior type, replacing
+    # GPy's sslinear_psi_comp.py (same pattern as RBF -> PSICOMP_SSRBF)
+    def _pc(self, qX):
+        if hasattr(qX, "gamma"):
+            from .psi_comp import PSICOMP_SSLinear
+
+            return PSICOMP_SSLinear()
+        return self._psicomp
+
     def psi0(self, Z, qX):
-        return self._psicomp.psi0(self, Z, qX)
+        return self._pc(qX).psi0(self, Z, qX)
 
     def psi1(self, Z, qX):
-        return self._psicomp.psi1(self, Z, qX)
+        return self._pc(qX).psi1(self, Z, qX)
 
     def psi2n(self, Z, qX):
-        return self._psicomp.psi2n(self, Z, qX)
+        return self._pc(qX).psi2n(self, Z, qX)
 
     def input_sensitivity(self, summarize=True):
         return np.broadcast_to(np.asarray(self.variances).reshape(-1), (self.input_dim,))

@@ -93,6 +93,41 @@ class PSICOMP_Linear:
         return outer + SZZ
 
 
+class PSICOMP_SSLinear(PSICOMP_Linear):
+    """Spike-and-slab Linear psi statistics (GPy: psi_comp/sslinear_psi_comp.py:1-86).
+
+    Under q(x_nq) = gamma_nq N(mu, S) + (1-gamma_nq) delta_0 the per-dim
+    moments are E[x] = g mu and E[x^2] = g (mu^2 + S), so
+      psi0_n    = sum_q v_q g (mu^2 + S)
+      psi1_nm   = (v g mu) Z'
+      psi2_nmm' = psi1 psi1' + sum_q v_q^2 g ((1-g) mu^2 + S) Z_mq Z_m'q
+    (the reference computes the summed-over-n psi2 with the identical
+    variance term g((1-g)mu^2+S); autodiff replaces its 50-line backward).
+    """
+
+    def psi0(self, kern, Z, qX):
+        v = jnp.asarray(kern.variances)
+        mu, S = jnp.asarray(qX.mean), jnp.asarray(qX.variance)
+        g = jnp.asarray(qX.gamma)
+        return jnp.sum(v * g * (mu**2 + S), axis=-1)
+
+    def psi1(self, kern, Z, qX):
+        v = jnp.asarray(kern.variances)
+        mu = jnp.asarray(qX.mean)
+        g = jnp.asarray(qX.gamma)
+        return (g * mu * v) @ Z.T
+
+    def psi2n(self, kern, Z, qX):
+        v = jnp.asarray(kern.variances)
+        mu, S = jnp.asarray(qX.mean), jnp.asarray(qX.variance)
+        g = jnp.asarray(qX.gamma)
+        psi1 = self.psi1(kern, Z, qX)  # (N,M)
+        outer = psi1[:, :, None] * psi1[:, None, :]
+        varq = g * ((1.0 - g) * mu**2 + S)  # (N,Q)
+        VZZ = jnp.einsum("nq,mq,kq->nmk", varq * v * v, Z, Z)
+        return outer + VZZ
+
+
 class PSICOMP_SSRBF(PSICOMP_RBF):
     """Spike-and-slab RBF psi statistics (GPy: psi_comp/ssrbf_psi_comp.py,
     398 LoC of hand algebra + 495 LoC CUDA — here the per-dimension mixture

@@ -196,15 +196,19 @@ class BayesianGPLVM(SparseGP):
     def latent_mean(self):
         return np.asarray(self.qX.mean)
 
-    def infer_newX(self, Y_new, optimize_iters=200):
+    def infer_newX(self, Y_new, optimize_iters=200, lr=1e-2, seed=0, variational=True):
         """Variational inference of q(X*) for new observations Y*.
 
         GPy: inference/latent_function_inference/inferenceX.py — builds a
         small gradient model over X*; here a direct jitted Adam loop over
         (mu*, S*) maximizing the bound with all model params frozen.
+        variational=False gives the base-class MAP point estimate instead.
         """
         import optax
 
+        if not variational:
+            return super().infer_newX(Y_new, optimize_iters=optimize_iters,
+                                      lr=lr, seed=seed, variational=False)
         Y_new = jnp.asarray(np.asarray(Y_new, dtype=float))
         n_new = Y_new.shape[0]
         Q = self.qX.input_dim
@@ -220,9 +224,13 @@ class BayesianGPLVM(SparseGP):
             )
             return -(bound - qX.KL())
 
-        mu0 = jnp.zeros((n_new, Q))
+        # init mean at the training latent nearest in data space (same
+        # warm start as the base-class MAP path; zero-init underconverges)
+        Ytr = jnp.asarray(self.Y_normalized)
+        d2 = jnp.sum((Y_new[:, None, :] - Ytr[None]) ** 2, -1)
+        mu0 = jnp.asarray(self.qX.mean)[jnp.argmin(d2, axis=1)]
         rawS0 = jnp.zeros((n_new, Q))  # softplus^-1(~0.69)
-        opt = optax.adam(1e-2)
+        opt = optax.adam(lr)
         state = opt.init((mu0, rawS0))
 
         def step(carry, _):
