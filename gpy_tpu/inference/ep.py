@@ -64,7 +64,15 @@ class EP(LatentFunctionInference):
         self.ep_mode = ep_mode
         self._frozen = False
         self._site_cache = None  # (N, tau, v) as host arrays
+        self._loading = False  # True right after deserialization: reuse sites
         self.max_iters = max_iters
+
+    def _rebuild_after_load(self):
+        """Resume parity (GPy expectation_propagation.py:188-213 `loading`):
+        a deserialized model reuses its stored converged sites for
+        posterior/predict instead of re-running EP; the next optimize()
+        re-converges them at the then-current hyperparameters."""
+        self._loading = self._site_cache is not None
 
     # --- alternated-mode hooks (GPy: latent_function_inference/__init__.py
     # on_optimization_start/end) --------------------------------------------
@@ -74,6 +82,7 @@ class EP(LatentFunctionInference):
         # (otherwise repeated optimize() calls would alternate against
         # sites stale from the previous call)
         self.__dict__["_site_cache"] = None
+        self._loading = False
         self._frozen = self.ep_mode == "alternated"
 
     def on_optimization_end(self):
@@ -89,7 +98,7 @@ class EP(LatentFunctionInference):
         eta, delta = self.eta, self.delta
 
         def sweep(carry):
-            tau, v, _, it = carry
+            tau, v, diff_prev, delta, it = carry
             Sigma, mu, _ = _posterior_from_sites(K, tau, v)
             sig2 = jnp.clip(jnp.diagonal(Sigma), 1e-12, 1e12)
             # cavity (fraction eta of the site removed)
@@ -108,15 +117,24 @@ class EP(LatentFunctionInference):
             tau2 = (1 - delta) * tau + delta * tau_new
             v2 = (1 - delta) * v + delta * v_new
             diff = jnp.max(jnp.abs(tau2 - tau)) + jnp.max(jnp.abs(v2 - v))
-            return tau2, v2, diff, it + 1
+            # damping back-off: parallel updates can oscillate on hard
+            # (near-separable) problems — if the sweep-to-sweep change grew,
+            # halve the step (floor 0.05). Oscillation-free runs keep the
+            # configured delta. (GPy's sequential loop doesn't need this;
+            # parallel EP does — Minka's damped fixed point is unchanged.)
+            delta_next = jnp.where(diff > diff_prev, jnp.maximum(0.5 * delta, 0.05), delta)
+            return tau2, v2, diff, delta_next, it + 1
 
         def cond(carry):
-            _, _, diff, it = carry
+            _, _, diff, _, it = carry
             return (diff > self.epsilon) & (it < self.max_iters)
 
         tau0 = jnp.zeros(N, dtype=dt)
         v0 = jnp.zeros(N, dtype=dt)
-        tau, v, _, _ = lax.while_loop(cond, sweep, (tau0, v0, jnp.asarray(jnp.inf, dtype=dt), 0))
+        tau, v, _, _, _ = lax.while_loop(
+            cond, sweep,
+            (tau0, v0, jnp.asarray(jnp.inf, dtype=dt), jnp.asarray(delta, dtype=dt), 0),
+        )
         return lax.stop_gradient(tau), lax.stop_gradient(v)
 
     # --- differentiable EP evidence at fixed sites -------------------------
@@ -144,8 +162,9 @@ class EP(LatentFunctionInference):
         assert mean_function is None, "EP with explicit mean function not yet supported"
         K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
         cache = self._site_cache
-        if self._frozen and cache is not None and cache[0] == N:
-            # alternated mode mid-optimization: sites are constants
+        if (self._frozen or getattr(self, "_loading", False)) and cache is not None and cache[0] == N:
+            # alternated mode mid-optimization, or first use after load:
+            # sites are constants
             tau = jnp.asarray(cache[1], dtype=K.dtype)
             v = jnp.asarray(cache[2], dtype=K.dtype)
         else:

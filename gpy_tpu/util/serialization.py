@@ -97,6 +97,9 @@ def _dec(x: Any) -> Any:
             cls = _resolve(x["__obj__"])
             obj = object.__new__(cls)
             obj.__dict__.update({k: _dec(v) for k, v in x["dict"].items()})
+            rebuild = getattr(obj, "_rebuild_after_load", None)
+            if rebuild is not None:
+                rebuild()
             return obj
         if "__array__" in x:
             return jnp.asarray(np.asarray(x["__array__"], dtype=x["dtype"]).reshape(x["shape"]))
