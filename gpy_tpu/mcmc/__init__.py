@@ -166,7 +166,9 @@ class HMC:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            axis = mesh.axis_names[0]
+            # shard chains over EVERY mesh axis (a 2-axis dcn x ici mesh
+            # spreads chains across hosts and chips alike)
+            axis = tuple(mesh.axis_names)
             ck = jax.device_put(keys[1:], NamedSharding(mesh, P(axis)))
             ci = jax.device_put(inits, NamedSharding(mesh, P(axis)))
             xs, accepts = jax.jit(chains_fn)(ck, ci)

@@ -111,11 +111,25 @@ class StateSpace(Model):
     """
 
     def __init__(self, X, Y, kernel=None, noise_var=1.0, parallel=False,
-                 engine="scan", name="StateSpace"):
+                 engine="scan", stable=False, parallel_chunks=None,
+                 name="StateSpace"):
         """engine: 'scan' (lax.scan, differentiable, default) or 'cpp'
         (native sequential filter for host/CPU evaluation — the
         state_space_cython equivalent; log_likelihood/predict only,
-        optimize always uses the differentiable scan path)."""
+        optimize always uses the differentiable scan path).
+
+        parallel: chunked-hybrid temporal parallelization — sequential
+        element composition within C ~ sqrt(N) chunks (vmapped across
+        chunks), one short scan across chunk totals, then a vmapped
+        in-chunk refilter. Exact (same fixed point as the sequential
+        filter); wall-clock wins when the sequential scan is
+        latency-bound (large N, small state dim).
+
+        stable: square-root (QR array) covariance filter — propagates a
+        Cholesky-like factor S with P = S S', so the covariance stays PSD
+        by construction on long ill-conditioned series (the reference's
+        SVD-stabilized updates, state_space_main.py:1894, exist for the
+        same reason). Sequential only; slightly more FLOPs per step."""
         super().__init__(name=name)
         dt = default_dtype()
         X = np.asarray(X, dtype=float).reshape(-1)
@@ -126,7 +140,9 @@ class StateSpace(Model):
         self.__dict__["Y"] = jnp.asarray(Y[order], dtype=dt)
         self.num_data = X.shape[0]
         self.kern = kernel or Matern32(1)
-        self.parallel = bool(parallel)  # associative-scan (log-depth) filter
+        self.parallel = bool(parallel)  # chunked-hybrid parallel filter
+        self.parallel_chunks = parallel_chunks
+        self.stable = bool(stable)
         self.engine = engine
         self._add_param("noise_var", noise_var, transform=Logexp())
 
@@ -138,6 +154,12 @@ class StateSpace(Model):
         Stationary blocks use the exact Q = Pinf - A Pinf A'; nonstationary
         blocks (Linear/Brownian) use the Van Loan integral, which stays
         finite where Pinf does not exist. White summands fold into sigma2.
+
+        stable mode uses Van Loan for EVERY block: the Pinf - A Pinf A'
+        shortcut is a difference of O(kernel-variance) matrices, which at
+        f32 loses Q entirely when dt << lengthscale (measured: NaN NLML at
+        lengthscale ratio 1e4); the Van Loan integral computes Q directly
+        at its own scale with no cancellation.
         """
         parts, white = sde_parts(self.kern, t0=times[0])
         if not parts:
@@ -151,7 +173,7 @@ class StateSpace(Model):
         Q = jnp.zeros((dts.shape[0], s, s), dtype=dt)
         off = 0
         for (F, L, Qc, _H, Pinf, _P0, stationary), sp in zip(parts, sizes):
-            if stationary:
+            if stationary and not getattr(self, "stable", False):
                 def one(dt_, F=F, Pinf=Pinf):
                     Ap = expm(F * dt_)
                     return Ap, Pinf - Ap @ Pinf @ Ap.T
@@ -168,17 +190,31 @@ class StateSpace(Model):
         return H, P0, A, Q, sigma2
 
     def _filter_parallel(self, times, ys, obs_mask=None):
-        """Associative-scan (log-depth) Kalman filter.
+        """Chunked-hybrid temporal-parallel Kalman filter.
 
-        Temporal parallelization of the filtering recursion (Sarkka &
-        Garcia-Fernandez 2020): each step becomes a 5-tuple element
-        (A, b, C, eta, J) with an associative composition, evaluated with
-        `jax.lax.associative_scan` — O(log N) depth on TPU instead of the
-        sequential O(N) `lax.scan`. GPy has no equivalent (its Kalman loop
-        is sequential Cython: models/state_space_cython.pyx).
+        Round-1 measurement: the pure `associative_scan` formulation
+        (Sarkka & Garcia-Fernandez 2020) over per-step elements was 19x
+        SLOWER than sequential `lax.scan` on TPU — tiny (s x s) element
+        algebra loses to the sequential scan's ~19us/step latency floor.
+        The fix is a 3-phase chunked hybrid with C ~ sqrt(N) chunks:
+
+          1. vmap over chunks: sequentially compose the per-step affine
+             elements within each chunk (L = N/C scan steps, C-way
+             parallel) -> one composite element per chunk;
+          2. one short sequential scan over the C chunk totals -> the
+             exact filtered state entering each chunk;
+          3. vmap over chunks: re-run the plain Kalman recursion within
+             each chunk from its entry state (L steps, C-way parallel).
+
+        Scan depth drops from N to ~2N/C + C; the per-step element algebra
+        is a constant factor. Exact in exact arithmetic (the elements
+        parameterize p(x_k | y..., x_entry) exactly). GPy has no
+        equivalent (its Kalman loop is sequential Cython).
 
         Returns the same tuple as `_filter`.
         """
+        import jax.tree_util as jtu
+
         H, P0, A, Q, sigma2 = self._ssm(times)
         s = P0.shape[0]
         dt = times.dtype
@@ -188,7 +224,7 @@ class StateSpace(Model):
         eyeS = jnp.eye(s, dtype=dt)
         Hv = H  # (1, s)
 
-        # --- per-step elements -------------------------------------------
+        # --- per-step elements (Sarkka & Garcia-Fernandez eq. 10-12) -----
         def make_element(A_k, Q_k, y, observed):
             # unobserved step: pure prediction element
             S = (Hv @ Q_k @ Hv.T)[0, 0] + sigma2
@@ -199,23 +235,6 @@ class StateSpace(Model):
             eta_e = jnp.where(observed, (A_k.T @ Hv.T / S * y)[:, 0], jnp.zeros(s, dtype=dt))
             J_e = jnp.where(observed, A_k.T @ Hv.T @ Hv @ A_k / S, jnp.zeros((s, s), dtype=dt))
             return A_e, b_e, C_e, eta_e, J_e
-
-        A_els, b_els, C_els, eta_els, J_els = jax.vmap(make_element)(A, Q, ys[1:], obs_mask[1:])
-
-        # first element: filter update of the prior (m0=0, P0)
-        S1 = (Hv @ P0 @ Hv.T)[0, 0] + sigma2
-        K1 = (P0 @ Hv.T) / S1
-        b1 = jnp.where(obs_mask[0], (K1 * ys[0])[:, 0], jnp.zeros(s, dtype=dt))
-        C1 = jnp.where(obs_mask[0], (eyeS - K1 @ Hv) @ P0, P0)
-        A1 = jnp.zeros((s, s), dtype=dt)
-        eta1 = jnp.zeros(s, dtype=dt)
-        J1 = jnp.zeros((s, s), dtype=dt)
-
-        A_all = jnp.concatenate([A1[None], A_els], 0)
-        b_all = jnp.concatenate([b1[None], b_els], 0)
-        C_all = jnp.concatenate([C1[None], C_els], 0)
-        eta_all = jnp.concatenate([eta1[None], eta_els], 0)
-        J_all = jnp.concatenate([J1[None], J_els], 0)
 
         # --- associative composition (i before j) ------------------------
         def combine(ei, ej):
@@ -235,22 +254,85 @@ class StateSpace(Model):
             J_new = jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(I + Jj @ Ci, Jj @ Ai) + Ji
             return A_new, b_new, C_new, eta_new, J_new
 
-        Af, bf, Cf, _, _ = jax.lax.associative_scan(
-            combine, (A_all, b_all, C_all, eta_all, J_all)
+        # --- shared sequential pieces ------------------------------------
+        def update(m_pred, P_pred, y, observed):
+            v = y - (Hv @ m_pred)[0, 0]
+            S = (Hv @ P_pred @ Hv.T)[0, 0] + sigma2
+            K = (P_pred @ Hv.T) / S
+            m_new = m_pred + K * v
+            P_new = P_pred - K @ (Hv @ P_pred)
+            ll = -0.5 * (LOG_2_PI + jnp.log(S) + v**2 / S)
+            return (
+                jnp.where(observed, m_new, m_pred),
+                jnp.where(observed, P_new, P_pred),
+                jnp.where(observed, ll, 0.0),
+            )
+
+        def step(carry, inp):
+            m, P = carry
+            A_n, Q_n, y, observed = inp
+            m_pred = A_n @ m
+            P_pred = A_n @ P @ A_n.T + Q_n
+            P_pred = 0.5 * (P_pred + P_pred.T)
+            m_new, P_new, ll = update(m_pred, P_pred, y, observed)
+            return (m_new, P_new), (m_new, P_new, m_pred, P_pred, ll)
+
+        # step 1: filter update of the prior (m0 = 0, P0)
+        m0 = jnp.zeros((s, 1), dtype=dt)
+        m1, P1, ll1 = update(m0, P0, ys[0], obs_mask[0])
+
+        # --- chunking (steps 2..N; pad with identity steps) --------------
+        n_el = n - 1
+        C = self.parallel_chunks or max(1, min(256, int(np.sqrt(max(n_el, 1)) * 2)))
+        C = min(C, max(n_el, 1))
+        L = -(-n_el // C)
+        pad = C * L - n_el
+        A_p = jnp.concatenate([A, jnp.broadcast_to(eyeS, (pad, s, s))], 0)
+        Q_p = jnp.concatenate([Q, jnp.zeros((pad, s, s), dtype=dt)], 0)
+        y_p = jnp.concatenate([ys[1:], jnp.zeros(pad, dtype=dt)], 0)
+        mask_p = jnp.concatenate([obs_mask[1:], jnp.zeros(pad, dtype=bool)], 0)
+        chunked = lambda a: a.reshape((C, L) + a.shape[1:])
+
+        els = jax.vmap(make_element)(A_p, Q_p, y_p, mask_p)
+        elsC = jtu.tree_map(chunked, els)
+
+        # phase 1: within-chunk element composition -> chunk totals
+        def compose_chunk(chunk):
+            e0 = jtu.tree_map(lambda a: a[0], chunk)
+            rest = jtu.tree_map(lambda a: a[1:], chunk)
+            tot, _ = lax.scan(lambda c, e: (combine(c, e), None), e0, rest)
+            return tot
+
+        totals = jax.vmap(compose_chunk)(elsC)
+
+        # phase 2: short scan across chunk totals -> chunk entry states.
+        # A filtered state (m, P) is itself the element (0, m, P, 0, 0);
+        # applying a composite element to it gives the filtered state at
+        # the composite's end (exactly how the first element embeds the
+        # prior in the pure associative formulation).
+        state0 = (jnp.zeros((s, s), dtype=dt), m1[:, 0], P1,
+                  jnp.zeros(s, dtype=dt), jnp.zeros((s, s), dtype=dt))
+
+        def ph2(carry, e):
+            return combine(carry, e), (carry[1], carry[2])
+
+        _, (m_starts, P_starts) = lax.scan(ph2, state0, totals)
+        # m_starts[c], P_starts[c]: filtered state ENTERING chunk c
+
+        # phase 3: vmapped in-chunk refilter from the entry states
+        def refilter(m_st, P_st, A_c, Q_c, y_c, mask_c):
+            _, outs = lax.scan(step, (m_st[:, None], P_st), (A_c, Q_c, y_c, mask_c))
+            return outs
+
+        ms3, Ps3, mpreds3, Ppreds3, lls3 = jax.vmap(refilter)(
+            m_starts, P_starts, chunked(A_p), chunked(Q_p), chunked(y_p), chunked(mask_p)
         )
-        ms = bf[..., None]  # filtered means (n, s, 1)
-        Ps = Cf
-        # predictive quantities for log-lik and smoothing
-        mpreds = jnp.concatenate(
-            [jnp.zeros((1, s, 1), dtype=dt), jnp.einsum("nij,njk->nik", A, ms[:-1])], 0
-        )
-        Ppreds = jnp.concatenate(
-            [P0[None], jnp.einsum("nij,njk,nlk->nil", A, Ps[:-1], A) + Q], 0
-        )
-        v = ys[:, None, None] - jnp.einsum("ij,njk->nik", Hv, mpreds)
-        Sp = jnp.einsum("ij,njk,lk->nil", Hv, Ppreds, Hv)[:, 0, 0] + sigma2
-        lls = -0.5 * (LOG_2_PI + jnp.log(Sp) + v[:, 0, 0] ** 2 / Sp)
-        logL = jnp.sum(jnp.where(obs_mask, lls, 0.0))
+        flat = lambda a: a.reshape((C * L,) + a.shape[2:])[:n_el]
+        ms = jnp.concatenate([m1[None], flat(ms3)], 0)
+        Ps = jnp.concatenate([P1[None], flat(Ps3)], 0)
+        mpreds = jnp.concatenate([m0[None], flat(mpreds3)], 0)
+        Ppreds = jnp.concatenate([P0[None], flat(Ppreds3)], 0)
+        logL = ll1 + jnp.sum(flat(lls3))
         return logL, ms, Ps, mpreds, Ppreds, A, H
 
     def _filter(self, times, ys, obs_mask=None):
@@ -295,6 +377,87 @@ class StateSpace(Model):
         logL = ll1 + jnp.sum(lls)
         return logL, ms, Ps, mpreds, Ppreds, A, H
 
+    def _filter_sqrt(self, times, ys, obs_mask=None):
+        """Square-root (QR array) Kalman filter: propagate S with P = S S'.
+
+        The covariance stays PSD by construction — the TPU-native
+        equivalent of the reference's SVD-stabilized update
+        (state_space_main.py:1894 `_kalman_update_step_SVD`), which exists
+        because the vanilla recursion P <- P - K H P loses definiteness on
+        long ill-conditioned series; at f32 we are MORE exposed than the
+        reference's f64. Kailath array algorithm, scalar observations:
+
+          predict: qr([S' A'; Qs'])            -> S_pred
+          update:  qr([sqrt(r) 0; S'H' S']')   -> [sqrt(Sy) 0; K*sqrt(Sy) S_new]
+
+        Per-step cost is one (2s x s) and one (s+1 x s+1) QR instead of two
+        (s x s) matmuls. Differentiable (QR has a JVP rule); the row-sign
+        ambiguity of R cancels in every extracted quantity.
+
+        Returns the same tuple as `_filter` (covariances reconstructed as
+        S S' — PSD by construction).
+        """
+        H, P0, A, Q, sigma2 = self._ssm(times)
+        s = P0.shape[0]
+        dt = times.dtype
+        if obs_mask is None:
+            obs_mask = jnp.ones(ys.shape[0], dtype=bool)
+
+        def psd_sqrt(M):
+            # jittered Cholesky, not eigh: eigh's VJP is NaN at the repeated
+            # eigenvalues near-zero Q routinely has; the relative jitter is
+            # below the filter's own roundoff at either precision. The
+            # absolute 1e-30 floor keeps chol defined for the EXACTLY zero
+            # Q of duplicate time points (dt=0 after f32 time rounding).
+            eps = 1e-12 if dt == jnp.float64 else 1e-6
+            d = jnp.maximum(jnp.trace(M) / M.shape[0], 1e-30)
+            return jnp.linalg.cholesky(M + (eps * d) * jnp.eye(M.shape[0], dtype=dt))
+
+        S0 = psd_sqrt(P0)
+        sqrtQ = jax.vmap(psd_sqrt)(Q)
+        sqrt_r = jnp.sqrt(sigma2)
+
+        def update(m_pred, S_pred, y, observed):
+            HS = (H @ S_pred)  # (1, s)
+            pre = jnp.zeros((1 + s, 1 + s), dtype=dt)
+            pre = pre.at[0, 0].set(sqrt_r).at[0, 1:].set(HS[0]).at[1:, 1:].set(S_pred)
+            post = jnp.linalg.qr(pre.T, mode="r").T  # lower (1+s, 1+s)
+            Sy = post[0, 0] ** 2
+            K = post[1:, 0:1] / post[0, 0]  # row-sign cancels
+            v = y - (H @ m_pred)[0, 0]
+            m_new = m_pred + K * v
+            S_new = post[1:, 1:]
+            ll = -0.5 * (LOG_2_PI + jnp.log(Sy) + v**2 / Sy)
+            return (
+                jnp.where(observed, m_new, m_pred),
+                jnp.where(observed, S_new, S_pred),
+                jnp.where(observed, ll, 0.0),
+            )
+
+        m0 = jnp.zeros((s, 1), dtype=dt)
+        m1, S1, ll1 = update(m0, S0, ys[0], obs_mask[0])
+
+        def step(carry, inp):
+            m, S = carry
+            A_n, Qs_n, y, observed = inp
+            m_pred = A_n @ m
+            pre = jnp.concatenate([S.T @ A_n.T, Qs_n.T], 0)  # (2s, s)
+            S_pred = jnp.linalg.qr(pre, mode="r").T  # lower (s, s)
+            m_new, S_new, ll = update(m_pred, S_pred, y, observed)
+            return (m_new, S_new), (m_new, S_new, m_pred, S_pred, ll)
+
+        _, (ms, Ss, mpreds, Spreds, lls) = lax.scan(
+            step, (m1, S1), (A, sqrtQ, ys[1:], obs_mask[1:])
+        )
+        ms = jnp.concatenate([m1[None], ms], 0)
+        Ss = jnp.concatenate([S1[None], Ss], 0)
+        mpreds = jnp.concatenate([m0[None], mpreds], 0)
+        Spreds = jnp.concatenate([S0[None], Spreds], 0)
+        Ps = jnp.einsum("nij,nkj->nik", Ss, Ss)
+        Ppreds = jnp.einsum("nij,nkj->nik", Spreds, Spreds)
+        logL = ll1 + jnp.sum(lls)
+        return logL, ms, Ps, mpreds, Ppreds, A, H
+
     def _smooth(self, ms, Ps, mpreds, Ppreds, A):
         """RTS smoother (backward scan). GPy: state_space_main.py rts_smoother."""
         n = ms.shape[0]
@@ -331,6 +494,8 @@ class StateSpace(Model):
     def _pick_filter(self):
         if self.engine == "cpp":
             return self._filter_cpp
+        if getattr(self, "stable", False):
+            return self._filter_sqrt
         return self._filter_parallel if self.parallel else self._filter
 
     # --- Model interface ----------------------------------------------------

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "distributed_initialize",
     "make_mesh",
+    "make_mesh_2d",
     "shard_rows",
     "replicate",
     "pad_rows_to_multiple",
@@ -40,10 +42,59 @@ __all__ = [
 ]
 
 
+def distributed_initialize(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None, **kw) -> bool:
+    """Multi-host entry point: call once per host process BEFORE building
+    meshes, so `jax.devices()` spans every host's chips.
+
+    Wraps `jax.distributed.initialize`; with no arguments JAX autodetects
+    the TPU-pod environment (coordinator from the pod metadata). This is
+    the TPU-native replacement for the reference's mpi4py bootstrap
+    (GPy/core/sparse_gp_mpi.py:90-115 mpi_comm plumbing). Returns True if
+    initialization happened, False if it was already done / single-host.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kw,
+        )
+        return True
+    except (RuntimeError, ValueError):
+        # already initialized, or a single-process environment without a
+        # coordinator — both fine: fall through to local devices
+        return False
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """1-D device mesh over the data axis (ICI within a slice, DCN across)."""
     devs = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def make_mesh_2d(n_dcn: Optional[int] = None, n_ici: Optional[int] = None,
+                 axis_names=("dcn", "ici")) -> Mesh:
+    """2-axis mesh: slow DCN axis (across hosts/slices) x fast ICI axis
+    (within a slice). `jax.devices()` orders devices host-major, so the
+    trailing mesh axis varies within a host — reductions over "ici" ride
+    the intra-slice interconnect and only the "dcn" partial crosses hosts.
+
+    Every sharded_* program here takes `axis_name`; pass the TUPLE
+    `("dcn", "ici")` to shard rows over both axes (PartitionSpec and psum
+    both accept axis tuples) — XLA then lowers the psum to an ICI
+    all-reduce followed by a DCN all-reduce.
+
+    Defaults: n_dcn = process count, n_ici = devices per process.
+    """
+    devs = jax.devices()
+    if n_dcn is None:
+        n_dcn = max(1, jax.process_count())
+    if n_ici is None:
+        n_ici = len(devs) // n_dcn
+    arr = np.asarray(devs[: n_dcn * n_ici]).reshape(n_dcn, n_ici)
+    return Mesh(arr, tuple(axis_names))
 
 
 def shard_rows(mesh: Mesh, x, axis_name: str = "data"):
@@ -218,7 +269,7 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
         # returned state agree; convert back with svgp_unwhiten_raw after
         raw0 = svgp_whiten_raw(model, raw0)
     state0 = opt.init(raw0)
-    return step, (raw0, state0), partial(shard_rows, mesh)
+    return step, (raw0, state0), partial(shard_rows, mesh, axis_name=axis_name)
 
 
 def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,

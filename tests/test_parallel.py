@@ -202,3 +202,63 @@ def test_sharded_whitened_step_parity_and_roundtrip():
     # the same ELBO in different coordinates)
     assert float(m.log_likelihood()) + float(m.log_prior()) >= v0
     assert np.isfinite(float(m.log_likelihood()))
+
+
+# --- 2-axis (dcn x ici) mesh: multi-host readiness (VERDICT r1 item 5) ------
+
+def test_make_mesh_2d_and_sharded_elbo_parity():
+    """Rows sharded over BOTH axes of a 2x4 mesh == serial objective."""
+    from gpy_tpu.parallel import make_mesh_2d
+
+    m = _model(48)
+    mesh = make_mesh_2d(n_dcn=2, n_ici=4)
+    assert mesh.axis_names == ("dcn", "ici") and mesh.devices.shape == (2, 4)
+    ax = ("dcn", "ici")
+    Xp, Yp, w = pad_rows_to_multiple(np.asarray(m.X), np.asarray(m.Y_normalized), 8)
+    val, grads = data_parallel_elbo_and_grad(m, mesh, Xp, Yp, w, axis_name=ax)
+    serial = float(m.log_likelihood()) + float(m.log_prior())
+    assert float(val) == pytest.approx(serial, rel=1e-10)
+    flat_grad = jax.grad(lambda f: m.with_flat_raw(f).log_likelihood() + m.with_flat_raw(f).log_prior())(
+        m.get_flat_raw()
+    )
+    gd = m.flat_to_raw_dict(flat_grad)
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(gd[k]),
+                                   rtol=1e-8, atol=1e-10, err_msg=k)
+
+
+def test_2d_mesh_svgp_train_step():
+    from gpy_tpu.parallel import make_mesh_2d
+
+    m = _model(48)
+    mesh = make_mesh_2d(n_dcn=2, n_ici=4)
+    ax = ("dcn", "ici")
+    Xp, Yp, w = pad_rows_to_multiple(np.asarray(m.X), np.asarray(m.Y_normalized), 8)
+    step, (raw, state), shard = sharded_svgp_train_step(m, mesh, step_size=5e-2, axis_name=ax)
+    Xs, Ys, ws = shard(jnp.asarray(Xp)), shard(jnp.asarray(Yp)), shard(jnp.asarray(w))
+    v0 = None
+    for i in range(10):
+        raw, state, v = step(raw, state, Xs, Ys, ws)
+        jax.block_until_ready(v)
+        if v0 is None:
+            v0 = float(v)
+    assert float(v) > v0  # ELBO ascends
+
+
+def test_2d_mesh_vardtc_parity():
+    from gpy_tpu.parallel import make_mesh_2d, sharded_vardtc_elbo_and_grad
+    from gpy_tpu.models.sparse_gp_regression import SparseGPRegression
+
+    X = np.linspace(0, 5, 41).reshape(-1, 1)
+    Y = np.sin(X) + 0.2 * rng.standard_normal((41, 1))
+    m = SparseGPRegression(X, Y, num_inducing=6)
+    mesh = make_mesh_2d(n_dcn=2, n_ici=4)
+    val, _ = sharded_vardtc_elbo_and_grad(m, mesh, axis_name=("dcn", "ici"))
+    assert float(val) == pytest.approx(float(m.log_likelihood()), rel=1e-10)
+
+
+def test_distributed_initialize_tolerant():
+    """Single-process call is a no-op returning False (no coordinator)."""
+    from gpy_tpu.parallel import distributed_initialize
+
+    assert distributed_initialize() is False

@@ -221,3 +221,51 @@ def test_ratquad_sde_checkgrad():
     X, Y = _toy(16)
     ss = StateSpace(X, Y, kernel=gk.RatQuad(1), noise_var=0.2)
     assert ss.checkgrad(step=1e-5)
+
+
+# --- square-root (stable) filter (VERDICT r1 item 4; the reference's SVD
+# update state_space_main.py:1894 exists for the same reason) --------------
+
+def test_sqrt_filter_matches_sequential():
+    X = np.sort(rng.uniform(0, 30, 250))
+    Y = np.sin(X) + 0.3 * rng.standard_normal(250)
+    seq = StateSpace(X, Y, kernel=gk.Matern52(1, lengthscale=1.5), noise_var=0.2)
+    sq = StateSpace(X, Y, kernel=gk.Matern52(1, lengthscale=1.5), noise_var=0.2, stable=True)
+    assert float(sq.log_likelihood()) == pytest.approx(float(seq.log_likelihood()), rel=1e-8)
+    Xs = np.linspace(0, 30, 17)
+    mu1, v1 = seq.predict(Xs)
+    mu2, v2 = sq.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, atol=1e-8)
+    np.testing.assert_allclose(v1, v2, atol=1e-8)
+
+
+def test_sqrt_filter_checkgrad():
+    X = np.sort(rng.uniform(0, 20, 60))
+    Y = np.sin(X) + 0.2 * rng.standard_normal(60)
+    sq = StateSpace(X, Y, kernel=gk.Matern32(1, lengthscale=2.0), noise_var=0.2, stable=True)
+    assert sq.checkgrad()
+
+
+def test_sqrt_filter_f32_survives_where_vanilla_nans():
+    """N=20k, lengthscale ratio 1e4, tiny noise: at f32 the vanilla
+    covariance recursion NaNs (Q = Pinf - A Pinf A' cancels to garbage,
+    P loses PSD-ness); the stable filter (Van Loan discretization +
+    QR-array sqrt updates) stays finite and lands within 15% of the f64
+    reference NLML."""
+    from gpy_tpu.config import config
+
+    rg = np.random.default_rng(1)
+    n = 20000
+    X = np.sort(rg.uniform(0, 10.0, n))
+    Y = np.sin(2 * np.pi * X / 5.0) + 0.05 * rg.standard_normal(n)
+    kern = lambda: gk.Matern52(1, lengthscale=1e4, variance=1e3) + gk.Matern32(1, lengthscale=1.0, variance=0.5)
+    l64 = float(StateSpace(X, Y, kernel=kern(), noise_var=1e-8).log_likelihood())
+    config.default_dtype = "float32"
+    try:
+        l32 = float(StateSpace(X, Y, kernel=kern(), noise_var=1e-8).log_likelihood())
+        ls32 = float(StateSpace(X, Y, kernel=kern(), noise_var=1e-8, stable=True).log_likelihood())
+    finally:
+        config.default_dtype = "float64"
+    assert not np.isfinite(l32)  # vanilla f32 fails here (by construction)
+    assert np.isfinite(ls32)
+    assert abs(ls32 - l64) / abs(l64) < 0.15
