@@ -55,11 +55,16 @@ def change_plotting_library(name):
         from .plotly_backend import PlotlyPlots
 
         _library[0] = PlotlyPlots()
+    elif name == "recording":
+        from .recording import RecordingPlots
+
+        _library[0] = RecordingPlots()
     elif name == "none":
         _library[0] = None
     else:
         raise ValueError(
-            f"unknown plotting library {name!r}; choose 'matplotlib', 'plotly' or 'none'")
+            f"unknown plotting library {name!r}; choose 'matplotlib', 'plotly', "
+            "'recording' or 'none'")
     _library_name[0] = name
 
 
