@@ -227,7 +227,7 @@ def test_optimizer_zoo_reaches_lbfgs_optimum():
     ref.optimize("lbfgsb")
     f_ref = float(ref.objective_function())
     for opt, iters in [("scg", 500), ("simplex", 800), ("rprop", 1500),
-                       ("lbfgs_device", 500)]:
+                       ("tnc", 500), ("lbfgs_device", 500)]:
         m = GPRegression(X, Y)
         m.optimize(opt, max_iters=iters, step_size=0.05)
         assert float(m.objective_function()) == pytest.approx(f_ref, abs=1e-2), opt

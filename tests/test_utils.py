@@ -312,3 +312,37 @@ def test_chol_and_inv_matches_native_ops():
     symb = 0.5 * (gb + jnp.swapaxes(gb, -1, -2))
     symbn = 0.5 * (gbn + jnp.swapaxes(gbn, -1, -2))
     np.testing.assert_allclose(np.asarray(symb), np.asarray(symbn), atol=1e-9)
+
+
+# --- profiling subsystem (SURVEY.md §5 tracing/profiling) -------------------
+
+def test_profiling_step_timer_and_objective():
+    from gpy_tpu.util.profiling import StepTimer, profile_objective
+    from gpy_tpu.models import GPRegression
+
+    rg = np.random.default_rng(0)
+    X = np.linspace(0, 4, 20).reshape(-1, 1)
+    Y = np.sin(X) + 0.1 * rg.standard_normal((20, 1))
+    m = GPRegression(X, Y)
+    s = profile_objective(m, n_calls=3)
+    assert s["n"] == 3 and s["mean_ms"] > 0 and s["min_ms"] <= s["p90_ms"]
+    t = StepTimer()
+    with t.step():
+        pass
+    assert len(t.times_s) == 1
+
+
+def test_profiling_trace_writes_logdir(tmp_path):
+    import jax.numpy as jnp
+    from gpy_tpu.util.profiling import trace, annotate
+
+    d = str(tmp_path / "tb")
+    with trace(d):
+        with annotate("unit-test-region"):
+            float(jnp.sum(jnp.ones(16)))
+    import os
+
+    found = []
+    for root, _dirs, files in os.walk(d):
+        found.extend(files)
+    assert found, "jax.profiler.trace wrote no files"
