@@ -53,9 +53,16 @@ class EPDTC(LatentFunctionInference):
         self.ep_mode = ep_mode
         self._frozen = False
         self._site_cache = None
+        self._loading = False
+
+    def _rebuild_after_load(self):
+        # resume parity: reuse stored converged sites after deserialization
+        # (same semantics as EP._rebuild_after_load / GPy's `loading` flag)
+        self._loading = self._site_cache is not None
 
     def on_optimization_start(self):
         self.__dict__["_site_cache"] = None
+        self._loading = False
         self._frozen = self.ep_mode == "alternated"
 
     def on_optimization_end(self):
@@ -70,7 +77,7 @@ class EPDTC(LatentFunctionInference):
         eta, delta = self.eta, self.delta
 
         def sweep(carry):
-            tau, v, _, it = carry
+            tau, v, diff_prev, dlt, it = carry
             mu, sig2, *_ = _posterior_w(R, tau, v)
             sig2 = jnp.clip(sig2, 1e-12, 1e12)
             tau_c = jnp.maximum(1.0 / sig2 - eta * tau, 1e-12)
@@ -79,18 +86,22 @@ class EPDTC(LatentFunctionInference):
             s2_hat = jnp.clip(s2_hat, 1e-12, 1e12)
             tau_new = jnp.maximum((1.0 / s2_hat - tau_c) / eta, 0.0)
             v_new = (mu_hat / s2_hat - v_c) / eta
-            tau2 = (1 - delta) * tau + delta * tau_new
-            v2 = (1 - delta) * v + delta * v_new
+            tau2 = (1 - dlt) * tau + dlt * tau_new
+            v2 = (1 - dlt) * v + dlt * v_new
             diff = jnp.max(jnp.abs(tau2 - tau)) + jnp.max(jnp.abs(v2 - v))
-            return tau2, v2, diff, it + 1
+            # same oscillation back-off as EP (ep.py): growing sweep-to-sweep
+            # change halves the damping (floor 0.05)
+            dlt_next = jnp.where(diff > diff_prev, jnp.maximum(0.5 * dlt, 0.05), dlt)
+            return tau2, v2, diff, dlt_next, it + 1
 
         def cond(carry):
-            _, _, diff, it = carry
+            _, _, diff, _, it = carry
             return (diff > self.epsilon) & (it < self.max_iters)
 
-        tau, v, _, _ = lax.while_loop(
+        tau, v, _, _, _ = lax.while_loop(
             cond, sweep,
-            (jnp.zeros(N, dtype=dt), jnp.zeros(N, dtype=dt), jnp.asarray(jnp.inf, dtype=dt), 0),
+            (jnp.zeros(N, dtype=dt), jnp.zeros(N, dtype=dt),
+             jnp.asarray(jnp.inf, dtype=dt), jnp.asarray(delta, dtype=dt), 0),
         )
         return lax.stop_gradient(tau), lax.stop_gradient(v)
 
@@ -122,7 +133,7 @@ class EPDTC(LatentFunctionInference):
         R = Lmi @ Kmn  # (M, N)
         N = R.shape[1]
         cache = self._site_cache
-        if self._frozen and cache is not None and cache[0] == N:
+        if (self._frozen or getattr(self, "_loading", False)) and cache is not None and cache[0] == N:
             tau = jnp.asarray(cache[1], dtype=R.dtype)
             v = jnp.asarray(cache[2], dtype=R.dtype)
         else:
