@@ -337,6 +337,39 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: Kalman N=20k sequential vs chunked-hybrid parallel ----------
+    try:
+        signal.alarm(300)
+        print("bench: kalman extra...", file=sys.stderr, flush=True)
+        from gpy_tpu.models import StateSpace
+
+        n_k = 20_000
+        Xk = np.sort(rng.uniform(0, 100, n_k)).astype(np.float32)
+        Yk = (np.sin(Xk / 3.0) + 0.2 * rng.standard_normal(n_k)).astype(np.float32)
+
+        def time_ss(parallel):
+            m = StateSpace(Xk, Yk, parallel=parallel, noise_var=0.1)
+            og = m._get_objgrad()
+            fl = np.asarray(m.get_flat_raw())
+            v, g = og(jnp.asarray(fl)); float(v); np.asarray(g)
+            v, g = og(jnp.asarray(fl * 1.0001)); float(v); np.asarray(g)
+            best = float("inf")
+            for i in range(2, 4):
+                t0 = time.perf_counter()
+                v, g = og(jnp.asarray(fl + 1e-4 * i)); float(v); np.asarray(g)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_seq = time_ss(False)
+        t_par = time_ss(True)
+        extra["kalman20k_nlml_grad_ms_seq"] = round(t_seq * 1e3, 1)
+        extra["kalman20k_nlml_grad_ms_parallel"] = round(t_par * 1e3, 1)
+        extra["kalman_parallel_speedup"] = round(t_seq / t_par, 2)
+    except Exception as e:  # pragma: no cover
+        extra["kalman_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     # --- extra: HMC samples/s/chip scaling curve (BASELINE.json metric axis;
     # VERDICT r1 item 7: publish samples/s per chain count) ------------------
     try:

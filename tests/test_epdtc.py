@@ -75,3 +75,19 @@ def test_epdtc_alternated_mode():
     p_n, _ = m_n.predict(X)
     assert np.mean(np.abs(np.asarray(p_a) - np.asarray(p_n))) < 0.15
     assert np.mean((np.asarray(p_a) > 0.5) == (Y > 0.5)) > 0.75
+
+
+def test_epdtc_site_serialization_resume():
+    """Deserialized EPDTC model reuses stored converged sites (GPy
+    `loading` semantics): identical predictions with convergence poisoned."""
+    X, Y = _banana(25)
+    m = SparseGP(X, Y, X[::3].copy(), gk.RBF(2), Bernoulli(),
+                 inference_method=EPDTC(), name="epdtc_ser")
+    p0, v0 = m.predict(X)
+    assert m.inference_method._site_cache is not None
+    m2 = type(m).from_dict(m.to_dict())
+    assert m2.inference_method._loading is True
+    m2.inference_method.max_iters = 0  # any re-convergence would be obvious
+    p1, v1 = m2.predict(X)
+    np.testing.assert_allclose(p0, p1, rtol=1e-8)
+    np.testing.assert_allclose(v0, v1, rtol=1e-8)
