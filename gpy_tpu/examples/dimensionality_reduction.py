@@ -29,6 +29,23 @@ def bgplvm_simulation(optimize=True, plot=False, max_iters=300):
     return m
 
 
+def bgplvm_infer_new(optimize=True, max_iters=150):
+    """Train a BGPLVM, then variationally infer q(X*) for held-out rows and
+    predict THROUGH the uncertain latents (psi-statistics posterior
+    predictive). Demos the GPy `m.infer_newX` + predict(VariationalPosterior)
+    surface (inferenceX.py / posterior.py:249-270)."""
+    data = datasets.simulation_BGPLVM(n=60, q_true=3, d=8)
+    Y = data["Y"]
+    m = BayesianGPLVM(Y[:50], 5, num_inducing=10)
+    if optimize:
+        m.optimize(max_iters=max_iters)
+    qXs, elbo = m.infer_newX(Y[50:], optimize_iters=200)
+    mu, var = m.predict(qXs)  # uncertain-input predictive (mean, total var)
+    rmse = float(np.sqrt(np.mean((mu - Y[50:]) ** 2)))
+    print(f"infer_newX elbo={elbo:.2f}  heldout rmse={rmse:.3f}")
+    return m, qXs, (mu, var)
+
+
 def mrd_simulation(optimize=True, plot=False, max_iters=200):
     rng = np.random.default_rng(0)
     X = rng.standard_normal((40, 2))

@@ -55,6 +55,9 @@ def test_new_dimred_examples():
     assert np.isfinite(float(m.log_likelihood()))
     m = D.bcgplvm_linear_stick(max_iters=15)
     assert np.isfinite(float(m.log_likelihood()))
+    m, qXs, (mu, var) = D.bgplvm_infer_new(max_iters=30)
+    assert np.asarray(qXs.mean).shape[0] == mu.shape[0] == 10
+    assert np.all(np.asarray(var) > 0)
 
 
 def test_boston_and_state_space_example():
