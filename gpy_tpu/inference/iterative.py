@@ -175,6 +175,14 @@ class IterativeGaussianInference(LatentFunctionInference):
         # precond_rank > 0: BBMM-style pivoted-Cholesky preconditioning
         # (Gardner et al. 2018). PCG converges in far fewer iterations and
         # probes drawn from N(0, P) cut the SLQ variance; logdet P is exact.
+        # Alternative preconditioners explored for the high-effective-rank
+        # regime where low-rank pivchol saturates (r2 measurement, N=4000
+        # 4-D RBF over [0,10]^4, noise 0.1, tol 1e-6): plain CG 75 iters,
+        # pivchol-256 59, RFF-256 150 (WORSE — random features mismatch
+        # the spectrum), RFF-1024 139, RFF-4096 42 — but an m=N RFF apply
+        # costs ~2 matvecs, so 42*3 > 75: random-Fourier preconditioning
+        # loses everywhere on this problem class and is deliberately not
+        # wired. The same Woodbury machinery would host it (L = Phi).
         self.precond_rank = precond_rank
         # materialize: build the stop-gradient Gram ONCE and run the CG loop
         # as dense matmuls (HBM-bandwidth bound) instead of re-evaluating the
