@@ -352,20 +352,23 @@ class Model(Module):
         self.set_flat_raw(x)
         return OptimizationResult(np.asarray(x), float(v), f"{optimizer} finished", max_iters, True)
 
-    def optimize_restarts(self, num_restarts=10, robust=False, verbose=True, parallel=False, seed=None, **kwargs):
+    def optimize_restarts(self, num_restarts=10, robust=False, verbose=True, parallel=False, seed=None, mesh=None, **kwargs):
         """GPy/paramz optimize_restarts: keep the best of several random inits.
 
         parallel=True runs ALL restarts simultaneously as one vmapped
         on-device optimization (requires an optax optimizer, default adam) —
         the TPU-native replacement for GPy's multiprocessing pool: R
         restarts cost barely more than one because the per-restart linalg
-        batches on the MXU.
+        batches on the MXU. Pass `mesh` (jax.sharding.Mesh) to additionally
+        shard the restart batch across devices — R restarts on k chips run
+        k-way data-parallel with zero cross-chip traffic (each restart is
+        independent; XLA partitions the vmapped batch dimension).
         """
         rng = np.random.default_rng(seed)
         initial = self.get_flat_raw()
         if parallel:
             return self._optimize_restarts_vmapped(
-                num_restarts, rng, initial, verbose, **kwargs)
+                num_restarts, rng, initial, verbose, mesh=mesh, **kwargs)
         best_obj, best_x = np.inf, None
         results = []
         for i in range(num_restarts):
@@ -391,7 +394,7 @@ class Model(Module):
 
     def _optimize_restarts_vmapped(self, num_restarts, rng, initial, verbose,
                                    optimizer="adam", max_iters=1000,
-                                   step_size=1e-2, **kwargs):
+                                   step_size=1e-2, mesh=None, **kwargs):
         import optax
 
         if optimizer not in ("adam", "adagrad", "rmsprop", "adadelta", "rprop"):
@@ -411,6 +414,11 @@ class Model(Module):
         finally:
             self.set_flat_raw(initial)
         xs0 = jnp.asarray(np.stack(inits))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            xs0 = jax.device_put(
+                xs0, NamedSharding(mesh, P(tuple(mesh.axis_names))))
 
         def step(carry, _):
             x, st = carry

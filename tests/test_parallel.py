@@ -262,3 +262,22 @@ def test_distributed_initialize_tolerant():
     from gpy_tpu.parallel import distributed_initialize
 
     assert distributed_initialize() is False
+
+
+def test_mesh_sharded_parallel_restarts():
+    """R=8 vmapped restarts sharded across the 8-device mesh: same best
+    objective as the unsharded vmapped path (restarts are independent)."""
+    from gpy_tpu.models import GPRegression
+
+    X = np.linspace(0, 5, 30).reshape(-1, 1)
+    Y = np.sin(X) + 0.2 * rng.standard_normal((30, 1))
+    m1 = GPRegression(X, Y)
+    r1 = m1.optimize_restarts(num_restarts=8, parallel=True, max_iters=150,
+                              step_size=5e-2, seed=0, verbose=False)
+    m2 = GPRegression(X, Y)
+    r2 = m2.optimize_restarts(num_restarts=8, parallel=True, max_iters=150,
+                              step_size=5e-2, seed=0, verbose=False,
+                              mesh=make_mesh())
+    f1 = min(res.f_opt for res in r1)
+    f2 = min(res.f_opt for res in r2)
+    assert f2 == pytest.approx(f1, rel=1e-5)
