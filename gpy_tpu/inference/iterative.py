@@ -167,7 +167,7 @@ class IterativeGaussianInference(LatentFunctionInference):
 
     def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0,
                  materialize="auto", materialize_max_n=50_000, precond_rank=0,
-                 gram_dtype=None):
+                 gram_dtype=None, fused=False):
         self.max_cg = max_cg
         self.n_probes = n_probes
         self.block = block
@@ -199,6 +199,14 @@ class IterativeGaussianInference(LatentFunctionInference):
         # NLML) and caps CG convergence at ~1e-3. Use for throughput-bound
         # exploratory fits, not final NLML evaluation; default full f32.
         self.gram_dtype = gram_dtype
+        # fused=True: run the stop-gradient CG matvecs through the Pallas
+        # fused gram-matvec (ops/pallas_gram_matvec.py) — the Gram tile never
+        # leaves VMEM, so peak memory is O(N*R) instead of the materialized
+        # O(N^2): single-chip exact-GP N is then time-bound, not HBM-bound.
+        # RBF-only; silently falls back to the blockwise path otherwise.
+        # MXU lanes make probe columns up to 128 free — consider raising
+        # n_probes when fused.
+        self.fused = fused
         self._jit_cache = {}
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
@@ -245,9 +253,22 @@ class IterativeGaussianInference(LatentFunctionInference):
         Z = jax.random.rademacher(key, (N, self.n_probes), dtype=X.dtype)
 
         k_sg = kern.stop_gradient() if hasattr(kern, "stop_gradient") else kern
-        do_mat = (self.materialize is True
-                  or (self.materialize == "auto" and N <= self.materialize_max_n))
-        if do_mat:
+        from ..ops.pallas_gram_matvec import fused_available, rbf_gram_matvec_fused
+
+        do_fused = self.fused and fused_available(k_sg)
+        do_mat = (not do_fused
+                  and (self.materialize is True
+                       or (self.materialize == "auto" and N <= self.materialize_max_n)))
+        if do_fused:
+            Xs_sg = lax.stop_gradient(k_sg._slice(X))
+            var_sg = lax.stop_gradient(jnp.asarray(k_sg.variance))
+            ls_sg = lax.stop_gradient(jnp.asarray(k_sg.lengthscale))
+            noise_fsg = lax.stop_gradient(noise)
+
+            def mv_sg(V):
+                return rbf_gram_matvec_fused(Xs_sg, V, var_sg, ls_sg,
+                                             noise=noise_fsg)
+        elif do_mat:
             from ..ops.gram_matvec import gram_materialize
 
             K_sg, P = gram_materialize(k_sg, lax.stop_gradient(X),

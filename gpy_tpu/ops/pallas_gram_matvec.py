@@ -1,0 +1,132 @@
+"""Fused Pallas gram-matvec: (v * exp(-0.5 d^2(X)) + diag(noise)) @ V with
+the Gram tile never leaving VMEM.
+
+Motivation (iterative exact GP, inference/iterative.py): the CG loop needs
+~max_cg products K @ V. The two existing strategies both move O(N^2) floats
+through HBM per sweep:
+
+  * blockwise XLA (ops/gram_matvec.py): each (block, N) K-tile is written to
+    HBM by the producer fusion and read back by the dot — 2x N^2 traffic;
+  * materialize-once: K built once (10GB f32 at N=50k), each matvec reads
+    the full N^2 — HBM-bandwidth bound, and caps N at ~50k per 16GB chip.
+
+Here each (BN, BM) tile of K is computed in VMEM (distance cross-term on the
+MXU, exp on the VPU) and immediately contracted with the matching V rows on
+the MXU; HBM traffic is O(N*D + N*R) per sweep and peak memory O(N*R).
+Single-chip exact-GP N is then bounded by time, not by the Gram footprint.
+
+MXU economics: the systolic array processes 128 output lanes regardless of R,
+so padding V from R (typically D + n_probes ~ 9) up to 128 columns is free —
+the CG/SLQ probe count can be raised to ~100 at zero marginal cost, cutting
+the stochastic logdet variance (cf. Gardner et al. 2018 BBMM, which the
+reference has no analogue of; GPy materializes K at
+exact_gaussian_inference.py:53).
+
+Both in-kernel dots run at precision HIGHEST: the distance cross-term loses
+O(|x|^2 * 8e-3) absolute under one-pass bf16 (config.py policy note), and the
+accumulate dot feeds CG where matvec error caps the attainable residual.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rbf_gram_matvec_fused", "fused_available"]
+
+_BN = 512
+_BM = 512
+_LANE = 128  # MXU output width: V is padded to a multiple of this for free
+
+
+def fused_available(kern, backend=None) -> bool:
+    """True if the fused path supports this kernel on this backend."""
+    back = backend or jax.default_backend()
+    return type(kern).__name__ == "RBF" and back == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_call(Xp, Vp, v, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, D = Xp.shape
+    R = Vp.shape[1]
+    grid = (P // _BN, P // _BM)
+
+    def kernel(x_ref, xj_ref, vj_ref, scal_ref, out_ref):
+        j = pl.program_id(1)
+        xi = x_ref[:]            # (BN, D) scaled rows
+        xj = xj_ref[:]           # (BM, D)
+        vj = vj_ref[:]           # (BM, R)
+        cross = jax.lax.dot_general(
+            xi, xj, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        sq_i = jnp.sum(xi * xi, axis=1)[:, None]
+        sq_j = jnp.sum(xj * xj, axis=1)[None, :]
+        r2 = sq_i + sq_j - 2.0 * cross
+        r2 = jnp.where(r2 < 0.0, 0.0, r2)
+        kt = scal_ref[0, 0] * jnp.exp(-0.5 * r2)
+        acc = jax.lax.dot_general(
+            kt, vj, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = acc
+
+        @pl.when(j > 0)
+        def _acc():
+            out_ref[:] = out_ref[:] + acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, R), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_BN, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BM, R), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((_BN, R), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(Xp, Xp, Vp, v)
+
+
+def rbf_gram_matvec_fused(X, V, variance, lengthscale, noise=None,
+                          interpret=None):
+    """(variance * exp(-0.5 ||(x-x')/ls||^2) + diag(noise)) @ V, fused.
+
+    X: (N, D); V: (N, R) or (N,); lengthscale scalar or (D,).
+    NOT differentiable — intended for the stop-gradient CG sweeps; the one
+    differentiable surrogate sweep keeps the blockwise ops/gram_matvec.py
+    path. Zero-padding rows of X and V is exact: padded V rows are zero, so
+    spurious K entries contribute nothing, and padded out rows are sliced.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V2 = V if V.ndim == 2 else V[:, None]
+    N, D = X.shape
+    R = V2.shape[1]
+    ls = jnp.asarray(lengthscale, X.dtype)
+    Xs = (X / ls).astype(jnp.float32)
+
+    blk = max(_BN, _BM)
+    P = ((N + blk - 1) // blk) * blk
+    Rp = ((R + _LANE - 1) // _LANE) * _LANE
+    Xp = jnp.zeros((P, D), jnp.float32).at[:N].set(Xs)
+    Vp = jnp.zeros((P, Rp), jnp.float32).at[:N, :R].set(V2.astype(jnp.float32))
+    v = jnp.reshape(jnp.asarray(variance, jnp.float32), (1, 1))
+
+    out = _pallas_call(Xp, Vp, v, interpret=bool(interpret))[:N, :R]
+    if noise is not None:
+        out = out + noise[:, None] * V2
+    out = out.astype(V2.dtype)
+    return out if V.ndim == 2 else out[:, 0]

@@ -1,0 +1,69 @@
+"""Parity tests for the fused Pallas gram-matvec (ops/pallas_gram_matvec.py).
+
+Run in Pallas interpret mode on CPU; on TPU the same code runs compiled.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gpy_tpu.kern as gk
+from gpy_tpu.ops.pallas_gram_matvec import rbf_gram_matvec_fused
+
+
+def _dense_ref(X, V, var, ls, noise):
+    k = gk.RBF(X.shape[1], variance=var, ARD=np.ndim(ls) > 0)
+    k.lengthscale = ls
+    K = np.asarray(k.K(jnp.asarray(X)))
+    K = K + np.diag(noise)
+    return K @ V
+
+
+@pytest.mark.parametrize("n,r", [(640, 3), (1024, 9)])
+def test_fused_matches_dense(n, r):
+    rng = np.random.default_rng(0)
+    d = 4
+    X = rng.random((n, d)).astype(np.float32) * 3.0
+    V = rng.standard_normal((n, r)).astype(np.float32)
+    noise = (0.1 + rng.random(n) * 0.1).astype(np.float32)
+    ls = (0.5 + rng.random(d)).astype(np.float32)
+
+    out = np.asarray(rbf_gram_matvec_fused(
+        jnp.asarray(X), jnp.asarray(V), 1.7, jnp.asarray(ls),
+        noise=jnp.asarray(noise), interpret=True))
+    ref = _dense_ref(X, V, 1.7, ls, noise)
+    assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-4
+
+
+def test_fused_vector_rhs():
+    rng = np.random.default_rng(1)
+    X = rng.random((512, 2)).astype(np.float32)
+    v = rng.standard_normal(512).astype(np.float32)
+    out = rbf_gram_matvec_fused(jnp.asarray(X), jnp.asarray(v), 1.0, 0.7,
+                                interpret=True)
+    assert out.shape == (512,)
+    ref = _dense_ref(X, v[:, None], 1.0, 0.7, np.zeros(512, np.float32))[:, 0]
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-4 * np.max(np.abs(ref)) + 1e-5
+
+
+def test_model_fused_inference_matches_blockwise(monkeypatch):
+    """IterativeGaussianInference(fused=True) == blockwise path (CPU interp)."""
+    from gpy_tpu.inference import iterative as it_mod
+    from gpy_tpu.inference.iterative import IterativeGaussianInference
+    from gpy_tpu.models import GPRegression
+    import gpy_tpu.ops.pallas_gram_matvec as pgm
+
+    monkeypatch.setattr(pgm, "fused_available", lambda k, backend=None: True)
+    # iterative.py imports the symbol inside _inference_core via module attr
+    rng = np.random.default_rng(2)
+    n = 600
+    X = rng.random((n, 2)).astype(np.float32) * 4.0
+    Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+
+    vals = {}
+    for tag, fused in (("fused", True), ("block", False)):
+        m = GPRegression(X, Y, noise_var=0.1,
+                         inference_method=IterativeGaussianInference(
+                             max_cg=32, n_probes=4, block=256,
+                             materialize=False, fused=fused))
+        vals[tag] = float(m.log_likelihood())
+    assert abs(vals["fused"] - vals["block"]) < 1e-2 * abs(vals["block"]) + 1e-2
