@@ -123,13 +123,15 @@ def _slq_logdet(alphas, betas, z_norm2, n, n_probes):
 class IterativePosterior:
     """Posterior container backed by CG solves (no cholesky anywhere)."""
 
-    def __init__(self, kern, X, noise, alpha, max_cg=64, block=2048):
+    def __init__(self, kern, X, noise, alpha, max_cg=64, block=2048,
+                 fused=False):
         self.kern = kern
         self._X = X
         self._noise = noise
         self.woodbury_vector = alpha  # K^-1 (Y - m); same role as Posterior
         self.max_cg = max_cg
         self.block = block
+        self.fused = fused
 
     def _raw_predict(self, kern, Xnew, pred_var, full_cov=False):
         # the CG loop dominates; jit it once per (n*, full_cov) shape —
@@ -141,9 +143,20 @@ class IterativePosterior:
                 Kx = kern.K(pred_var, Xn)  # (N, n*)
                 mu = Kx.T @ alpha
 
-                def mv(V):
-                    return gram_matvec(self.kern, self._X, V, noise=self._noise,
-                                       block=self.block)
+                from ..ops.pallas_gram_matvec import (fused_available,
+                                                      rbf_gram_matvec_fused)
+
+                if self.fused and fused_available(self.kern):
+                    kk = self.kern
+
+                    def mv(V):
+                        return rbf_gram_matvec_fused(
+                            kk._slice(self._X), V, jnp.asarray(kk.variance),
+                            jnp.asarray(kk.lengthscale), noise=self._noise)
+                else:
+                    def mv(V):
+                        return gram_matvec(self.kern, self._X, V,
+                                           noise=self._noise, block=self.block)
 
                 sol, *_ = cg_batched(mv, Kx, maxiter=self.max_cg)
                 if full_cov:
@@ -234,12 +247,14 @@ class IterativeGaussianInference(LatentFunctionInference):
             alpha, log_marginal, noise = self._jit_cache[key](
                 kern.get_raw_dict(), likelihood.get_raw_dict(), X, Y)
             posterior = IterativePosterior(kern, X, noise, alpha,
-                                           max_cg=self.max_cg, block=self.block)
+                                           max_cg=self.max_cg, block=self.block,
+                                           fused=self.fused)
             return posterior, log_marginal
         alpha, log_marginal, noise = self._inference_core(
             kern, X, likelihood, Y, Y_metadata, mean_function)
         posterior = IterativePosterior(kern, X, noise, alpha,
-                                       max_cg=self.max_cg, block=self.block)
+                                       max_cg=self.max_cg, block=self.block,
+                                       fused=self.fused)
         return posterior, log_marginal
 
     def _inference_core(self, kern, X, likelihood, Y, Y_metadata=None,

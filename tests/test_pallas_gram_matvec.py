@@ -65,5 +65,14 @@ def test_model_fused_inference_matches_blockwise(monkeypatch):
                          inference_method=IterativeGaussianInference(
                              max_cg=32, n_probes=4, block=256,
                              materialize=False, fused=fused))
-        vals[tag] = float(m.log_likelihood())
-    assert abs(vals["fused"] - vals["block"]) < 1e-2 * abs(vals["block"]) + 1e-2
+        mu, var = m.predict(X[:7])
+        vals[tag] = (float(m.log_likelihood()), np.asarray(mu), np.asarray(var))
+    assert abs(vals["fused"][0] - vals["block"][0]) < 1e-2 * abs(vals["block"][0]) + 1e-2
+    # CG trajectories differ at the unconverged-residual level between the
+    # f32 fused kernel and the f64 blockwise path — compare both against the
+    # dense exact posterior instead of against each other
+    md = GPRegression(X, Y, noise_var=0.1)
+    mu_d, var_d = (np.asarray(a) for a in md.predict(X[:7]))
+    for tag in ("fused", "block"):
+        np.testing.assert_allclose(vals[tag][1], mu_d, atol=3e-2)
+        np.testing.assert_allclose(vals[tag][2], var_d, atol=3e-2)
