@@ -144,15 +144,14 @@ class IterativePosterior:
                 mu = Kx.T @ alpha
 
                 from ..ops.pallas_gram_matvec import (fused_available,
-                                                      rbf_gram_matvec_fused)
+                                                      kern_gram_matvec_fused)
 
                 if self.fused and fused_available(self.kern):
                     kk = self.kern
 
                     def mv(V):
-                        return rbf_gram_matvec_fused(
-                            kk._slice(self._X), V, jnp.asarray(kk.variance),
-                            jnp.asarray(kk.lengthscale), noise=self._noise)
+                        return kern_gram_matvec_fused(kk, self._X, V,
+                                                      noise=self._noise)
                 else:
                     def mv(V):
                         return gram_matvec(self.kern, self._X, V,
@@ -268,21 +267,18 @@ class IterativeGaussianInference(LatentFunctionInference):
         Z = jax.random.rademacher(key, (N, self.n_probes), dtype=X.dtype)
 
         k_sg = kern.stop_gradient() if hasattr(kern, "stop_gradient") else kern
-        from ..ops.pallas_gram_matvec import fused_available, rbf_gram_matvec_fused
+        from ..ops.pallas_gram_matvec import fused_available, kern_gram_matvec_fused
 
         do_fused = self.fused and fused_available(k_sg)
         do_mat = (not do_fused
                   and (self.materialize is True
                        or (self.materialize == "auto" and N <= self.materialize_max_n)))
         if do_fused:
-            Xs_sg = lax.stop_gradient(k_sg._slice(X))
-            var_sg = lax.stop_gradient(jnp.asarray(k_sg.variance))
-            ls_sg = lax.stop_gradient(jnp.asarray(k_sg.lengthscale))
+            X_sg = lax.stop_gradient(X)
             noise_fsg = lax.stop_gradient(noise)
 
             def mv_sg(V):
-                return rbf_gram_matvec_fused(Xs_sg, V, var_sg, ls_sg,
-                                             noise=noise_fsg)
+                return kern_gram_matvec_fused(k_sg, X_sg, V, noise=noise_fsg)
         elif do_mat:
             from ..ops.gram_matvec import gram_materialize
 

@@ -33,21 +33,41 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rbf_gram_matvec_fused", "fused_available"]
+__all__ = ["rbf_gram_matvec_fused", "stationary_gram_matvec_fused",
+           "kern_gram_matvec_fused", "fused_available"]
 
 _BN = 512
 _BM = 512
 _LANE = 128  # MXU output width: V is padded to a multiple of this for free
 
+# stationary families sharing the fused tile structure; the elementwise
+# K_of_r2 map is selected statically at trace time (no in-kernel branching)
+_FAMILIES = {"RBF": 0, "ExpQuad": 0, "Matern32": 1, "Matern52": 2,
+             "Exponential": 3, "OU": 3}
+
 
 def fused_available(kern, backend=None) -> bool:
     """True if the fused path supports this kernel on this backend."""
     back = backend or jax.default_backend()
-    return type(kern).__name__ == "RBF" and back == "tpu"
+    return type(kern).__name__ in _FAMILIES and back == "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_call(Xp, Vp, v, interpret=False):
+def _k_of_r2(family, r2, v):
+    """Elementwise stationary form on the VPU, from squared scaled distance."""
+    if family == 0:  # RBF / ExpQuad
+        return v * jnp.exp(-0.5 * r2)
+    r = jnp.sqrt(r2 + 1e-30)
+    if family == 1:  # Matern32
+        s = jnp.sqrt(jnp.float32(3.0)) * r
+        return v * (1.0 + s) * jnp.exp(-s)
+    if family == 2:  # Matern52
+        s = jnp.sqrt(jnp.float32(5.0)) * r
+        return v * (1.0 + s + s * s / 3.0) * jnp.exp(-s)
+    return v * jnp.exp(-r)  # Exponential / OU
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "family"))
+def _pallas_call(Xp, Vp, v, interpret=False, family=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -68,7 +88,7 @@ def _pallas_call(Xp, Vp, v, interpret=False):
         sq_j = jnp.sum(xj * xj, axis=1)[None, :]
         r2 = sq_i + sq_j - 2.0 * cross
         r2 = jnp.where(r2 < 0.0, 0.0, r2)
-        kt = scal_ref[0, 0] * jnp.exp(-0.5 * r2)
+        kt = _k_of_r2(family, r2, scal_ref[0, 0])
         acc = jax.lax.dot_general(
             kt, vj, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -100,9 +120,9 @@ def _pallas_call(Xp, Vp, v, interpret=False):
     )(Xp, Xp, Vp, v)
 
 
-def rbf_gram_matvec_fused(X, V, variance, lengthscale, noise=None,
-                          interpret=None):
-    """(variance * exp(-0.5 ||(x-x')/ls||^2) + diag(noise)) @ V, fused.
+def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
+                                 noise=None, interpret=None):
+    """(K_family(scaled dist) + diag(noise)) @ V, fused (family: _FAMILIES).
 
     X: (N, D); V: (N, R) or (N,); lengthscale scalar or (D,).
     NOT differentiable — intended for the stop-gradient CG sweeps; the one
@@ -125,8 +145,25 @@ def rbf_gram_matvec_fused(X, V, variance, lengthscale, noise=None,
     Vp = jnp.zeros((P, Rp), jnp.float32).at[:N, :R].set(V2.astype(jnp.float32))
     v = jnp.reshape(jnp.asarray(variance, jnp.float32), (1, 1))
 
-    out = _pallas_call(Xp, Vp, v, interpret=bool(interpret))[:N, :R]
+    out = _pallas_call(Xp, Vp, v, interpret=bool(interpret),
+                       family=int(family))[:N, :R]
     if noise is not None:
         out = out + noise[:, None] * V2
     out = out.astype(V2.dtype)
     return out if V.ndim == 2 else out[:, 0]
+
+
+def rbf_gram_matvec_fused(X, V, variance, lengthscale, noise=None,
+                          interpret=None):
+    """RBF specialization of stationary_gram_matvec_fused."""
+    return stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
+                                        noise=noise, interpret=interpret)
+
+
+def kern_gram_matvec_fused(kern, X, V, noise=None, interpret=None):
+    """Dispatch on a kernel object (must satisfy fused_available)."""
+    fam = _FAMILIES[type(kern).__name__]
+    return stationary_gram_matvec_fused(
+        kern._slice(X), V, jnp.asarray(kern.variance),
+        jnp.asarray(kern.lengthscale), family=fam, noise=noise,
+        interpret=interpret)

@@ -34,6 +34,22 @@ def test_fused_matches_dense(n, r):
     assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-4
 
 
+@pytest.mark.parametrize("kname", ["Matern32", "Matern52", "Exponential", "OU"])
+def test_fused_stationary_family(kname):
+    from gpy_tpu.ops.pallas_gram_matvec import kern_gram_matvec_fused
+
+    rng = np.random.default_rng(4)
+    n, d = 512, 3
+    X = rng.random((n, d)).astype(np.float32) * 3.0
+    V = rng.standard_normal((n, 2)).astype(np.float32)
+    k = getattr(gk, kname)(d, variance=0.8)
+    k.lengthscale = 0.9
+    out = np.asarray(kern_gram_matvec_fused(
+        k, jnp.asarray(X), jnp.asarray(V), interpret=True))
+    ref = np.asarray(k.K(jnp.asarray(X))) @ V
+    assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-3
+
+
 def test_fused_vector_rhs():
     rng = np.random.default_rng(1)
     X = rng.random((512, 2)).astype(np.float32)
