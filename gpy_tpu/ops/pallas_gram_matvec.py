@@ -67,13 +67,14 @@ def _k_of_r2(family, r2, v):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "family"))
-def _pallas_call(Xp, Vp, v, interpret=False, family=0):
+def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P, D = Xp.shape
+    Pr, D = Xrow.shape
+    Pc = Xcol.shape[0]
     R = Vp.shape[1]
-    grid = (P // _BN, P // _BM)
+    grid = (Pr // _BN, Pc // _BM)
 
     def kernel(x_ref, xj_ref, vj_ref, scal_ref, out_ref):
         j = pl.program_id(1)
@@ -104,7 +105,7 @@ def _pallas_call(Xp, Vp, v, interpret=False, family=0):
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((P, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Pr, R), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -117,14 +118,19 @@ def _pallas_call(Xp, Vp, v, interpret=False, family=0):
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(Xp, Xp, Vp, v)
+    )(Xrow, Xcol, Vp, v)
 
 
 def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
-                                 noise=None, interpret=None):
+                                 noise=None, interpret=None, X2=None):
     """(K_family(scaled dist) + diag(noise)) @ V, fused (family: _FAMILIES).
 
-    X: (N, D); V: (N, R) or (N,); lengthscale scalar or (D,).
+    X: (N, D) rows of the product; X2: (M, D) columns (default X — square
+    Gram); V: (M, R) or (M,); lengthscale scalar or (D,). With X2 given the
+    product is the rectangular slab K(X, X2) @ V (the per-device shard of
+    the row-sharded multi-chip matvec) — `noise` is only valid in the square
+    case.
+
     NOT differentiable — intended for the stop-gradient CG sweeps; the one
     differentiable surrogate sweep keeps the blockwise ops/gram_matvec.py
     path. Zero-padding rows of X and V is exact: padded V rows are zero, so
@@ -137,15 +143,23 @@ def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
     R = V2.shape[1]
     ls = jnp.asarray(lengthscale, X.dtype)
     Xs = (X / ls).astype(jnp.float32)
+    if X2 is None:
+        Xc, M = Xs, N
+    else:
+        assert noise is None, "noise diagonal undefined for rectangular slabs"
+        Xc = (X2 / ls).astype(jnp.float32)
+        M = X2.shape[0]
 
-    blk = max(_BN, _BM)
-    P = ((N + blk - 1) // blk) * blk
+    Pr = ((N + _BN - 1) // _BN) * _BN
+    Pc = ((M + _BM - 1) // _BM) * _BM
     Rp = ((R + _LANE - 1) // _LANE) * _LANE
-    Xp = jnp.zeros((P, D), jnp.float32).at[:N].set(Xs)
-    Vp = jnp.zeros((P, Rp), jnp.float32).at[:N, :R].set(V2.astype(jnp.float32))
+    Xrp = jnp.zeros((Pr, D), jnp.float32).at[:N].set(Xs)
+    Xcp = Xrp if (X2 is None and Pr == Pc) else (
+        jnp.zeros((Pc, D), jnp.float32).at[:M].set(Xc))
+    Vp = jnp.zeros((Pc, Rp), jnp.float32).at[:M, :R].set(V2.astype(jnp.float32))
     v = jnp.reshape(jnp.asarray(variance, jnp.float32), (1, 1))
 
-    out = _pallas_call(Xp, Vp, v, interpret=bool(interpret),
+    out = _pallas_call(Xrp, Xcp, Vp, v, interpret=bool(interpret),
                        family=int(family))[:N, :R]
     if noise is not None:
         out = out + noise[:, None] * V2
@@ -160,10 +174,10 @@ def rbf_gram_matvec_fused(X, V, variance, lengthscale, noise=None,
                                         noise=noise, interpret=interpret)
 
 
-def kern_gram_matvec_fused(kern, X, V, noise=None, interpret=None):
+def kern_gram_matvec_fused(kern, X, V, noise=None, interpret=None, X2=None):
     """Dispatch on a kernel object (must satisfy fused_available)."""
     fam = _FAMILIES[type(kern).__name__]
     return stationary_gram_matvec_fused(
         kern._slice(X), V, jnp.asarray(kern.variance),
         jnp.asarray(kern.lengthscale), family=fam, noise=noise,
-        interpret=interpret)
+        interpret=interpret, X2=None if X2 is None else kern._slice(X2))

@@ -292,7 +292,7 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
 
 
 def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
-                        axis_name: str = "data"):
+                        axis_name: str = "data", fused=False):
     """(K(X,X) + diag(noise)) @ V with rows of K sharded over the mesh.
 
     The within-matrix sharding of SURVEY.md §5: each device streams its row
@@ -314,9 +314,17 @@ def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
     # outputs, sharded by a previous jitted step, are fed back in)
     kraw = kern.get_raw_dict()
 
+    from ..ops.pallas_gram_matvec import fused_available, kern_gram_matvec_fused
+
+    use_fused = fused and fused_available(kern)
+
     def local(mv_X_loc, X_full, V_full, noise_loc, V_loc, kraw_in):
         k2 = kern.with_raw_dict(kraw_in)
-        out = gram_matvec_rows(k2, mv_X_loc, X_full, V_full, block)
+        if use_fused:
+            # per-device rectangular slab through the Pallas fused kernel
+            out = kern_gram_matvec_fused(k2, mv_X_loc, V_full, X2=X_full)
+        else:
+            out = gram_matvec_rows(k2, mv_X_loc, X_full, V_full, block)
         return out + noise_loc[:, None] * V_loc
 
     def gram_matvec_rows(k2, X_rows, X_full, V_full, block):
@@ -345,7 +353,8 @@ def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
 
 
 def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
-                                block=2048, seed=0, axis_name: str = "data"):
+                                block=2048, seed=0, axis_name: str = "data",
+                                fused=False):
     """NLML + gradient of an exact GP with the Gram rows sharded over the
     mesh — multi-chip matrix-free exact inference (iterative.py recipe with
     sharded_gram_matvec as the engine).
@@ -369,9 +378,12 @@ def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
         k_sg = kern.stop_gradient()
 
         def mv_sg(V):
+            # fused only applies here: the KU surrogate below needs the
+            # differentiable blockwise path (the Pallas kernel has no VJP)
             return sharded_gram_matvec(mesh, k_sg, X, V,
                                        noise=jax.lax.stop_gradient(noise),
-                                       block=block, axis_name=axis_name)
+                                       block=block, axis_name=axis_name,
+                                       fused=fused)
 
         RHS = jnp.concatenate([Y, Z], axis=1)
         sol, alphas, betas, _ = cg_batched(mv_sg, RHS, maxiter=max_cg)

@@ -50,6 +50,46 @@ def test_fused_stationary_family(kname):
     assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-3
 
 
+def test_fused_rectangular_slab():
+    from gpy_tpu.ops.pallas_gram_matvec import kern_gram_matvec_fused
+
+    rng = np.random.default_rng(6)
+    Xr = rng.random((520, 3)).astype(np.float32) * 2.0
+    Xc = rng.random((1030, 3)).astype(np.float32) * 2.0
+    V = rng.standard_normal((1030, 5)).astype(np.float32)
+    k = gk.RBF(3, variance=1.2)
+    k.lengthscale = 0.8
+    out = np.asarray(kern_gram_matvec_fused(
+        k, jnp.asarray(Xr), jnp.asarray(V), X2=jnp.asarray(Xc), interpret=True))
+    ref = np.asarray(k.K(jnp.asarray(Xr), jnp.asarray(Xc))) @ V
+    assert out.shape == (520, 5)
+    assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-3
+
+
+def test_sharded_fused_matvec_parity(monkeypatch):
+    """Row-sharded fused matvec == serial dense on the 8-device CPU mesh."""
+    import jax
+    import gpy_tpu.ops.pallas_gram_matvec as pgm
+    from gpy_tpu.parallel import make_mesh, sharded_gram_matvec
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    monkeypatch.setattr(pgm, "fused_available", lambda k, backend=None: True)
+    rng = np.random.default_rng(7)
+    n = 64 * 8
+    X = rng.random((n, 2)).astype(np.float32) * 3.0
+    V = rng.standard_normal((n, 3)).astype(np.float32)
+    noise = np.full(n, 0.25, np.float32)
+    k = gk.RBF(2, variance=0.9)
+    mesh = make_mesh(8)
+    out = np.asarray(sharded_gram_matvec(mesh, k, jnp.asarray(X),
+                                         jnp.asarray(V),
+                                         noise=jnp.asarray(noise),
+                                         block=64, fused=True))
+    ref = (np.asarray(k.K(jnp.asarray(X))) + np.diag(noise)) @ V
+    assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-3
+
+
 def test_fused_vector_rhs():
     rng = np.random.default_rng(1)
     X = rng.random((512, 2)).astype(np.float32)
