@@ -265,6 +265,31 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: same N=50k NLML+grad with the fused Pallas gram-matvec
+    # (Gram tiles stay in VMEM; no 10GB materialization) -------------------
+    try:
+        signal.alarm(240)
+        print("bench: exact 50k fused extra...", file=sys.stderr, flush=True)
+        mf = GPRegression(Xi, Yi, noise_var=0.1,
+                          inference_method=IterativeGaussianInference(
+                              max_cg=48, n_probes=8, block=2048,
+                              materialize=False, fused=True))
+        ogf = mf._get_objgrad()
+        flat_f = np.asarray(mf.get_flat_raw())
+        v, g = ogf(jnp.asarray(flat_f))
+        float(v), np.asarray(g)  # compile + fetch
+        best_f = float("inf")
+        for i in range(1, 3):
+            t0 = time.perf_counter()
+            v, g = ogf(jnp.asarray(flat_f + 1e-3 * i))
+            float(v), np.asarray(g)
+            best_f = min(best_f, time.perf_counter() - t0)
+        extra["exact50k_cg_nlml_grad_ms_fused"] = round(best_f * 1e3, 1)
+    except Exception as e:  # pragma: no cover
+        extra["exact50k_fused_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     # --- extra: SVGP at N=10M on one chip (BASELINE config #4 scale axis;
     # dataset is passed to the compiled chunk as an argument, never a
     # captured constant) ----------------------------------------------------
@@ -382,13 +407,16 @@ def main():
         Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
         mh = GPRegression(Xh, Yh, noise_var=0.1)
         hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
-        # chain counts capped at 16: 32 vmapped chains exceeded the chip's
-        # HBM working set for the batched N=1000 chol pipeline and faulted
-        # the worker (see _prof_hmc_bisect.py) — documented guard, not
-        # superstition. Per count: 1 compile+run, then 1 timed fresh-seed run.
+        # chain counts above 8 are gated: 32 vmapped chains faulted the TPU
+        # worker in round 1 and a bench crash can wedge machine state. The
+        # gate opens only after _prof_hmc_bisect.py has validated the count
+        # on this hardware (run it, then set GPY_BENCH_HMC_MAX=16).
+        hmc_max = int(os.environ.get("GPY_BENCH_HMC_MAX", "8"))
         curve = {}
         print("bench: hmc scaling curve...", file=sys.stderr, flush=True)
         for n_c in (1, 2, 4, 8, 16):
+            if n_c > hmc_max:
+                break
             n_s = max(24, 192 // n_c)
             hmc.sample(num_samples=n_s, num_chains=n_c, seed=0)  # compile+warm
             t0 = time.perf_counter()
@@ -398,7 +426,16 @@ def main():
             print(f"bench: hmc {n_c} chains: {curve[str(n_c)]} samples/s",
                   file=sys.stderr, flush=True)
         extra["hmc_samples_per_s_by_chains_n1000"] = curve
-        extra["hmc_samples_per_s_n1000_8chains"] = curve.get("8")
+        # the r1-comparable 8-chain point: same protocol as round 1
+        # (80 samples x 8 chains, best of 2 timed runs)
+        n_s8 = 80
+        hmc.sample(num_samples=n_s8, num_chains=8, seed=0)  # compile+warm
+        best8 = float("inf")
+        for s in (3, 5):
+            t0 = time.perf_counter()
+            hmc.sample(num_samples=n_s8, num_chains=8, seed=s)
+            best8 = min(best8, time.perf_counter() - t0)
+        extra["hmc_samples_per_s_n1000_8chains"] = round(n_s8 * 8 / best8, 1)
     except Exception as e:  # pragma: no cover
         extra["hmc_error"] = str(e)[:100]
     finally:

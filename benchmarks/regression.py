@@ -86,10 +86,23 @@ class Housing(Task):
 
 
 class WineQuality(Task):
-    """UCI wine quality, red (reference tasks.py:57-85)."""
+    """UCI wine quality, red (reference tasks.py:57-85). Reads the cached
+    winequality-red.csv from the datasets cache dir when present."""
 
     name = "WineQuality"
     n_train, n_test, n_features = 1000, 599, 11
+
+    def _real(self):
+        try:
+            from gpy_tpu.util.datasets import data_path
+
+            f = os.path.join(data_path(), "wine_quality", "winequality-red.csv")
+            if not os.path.exists(f):
+                return None
+            raw = np.genfromtxt(f, delimiter=";", skip_header=1)
+            return raw[:, :-1].astype(float), raw[:, -1:].astype(float)
+        except Exception:
+            return None
 
 
 # ---------------------------------------------------------------------------

@@ -135,12 +135,15 @@ class IterativePosterior:
 
     def _raw_predict(self, kern, Xnew, pred_var, full_cov=False):
         # the CG loop dominates; jit it once per (n*, full_cov) shape —
-        # eager dispatch of ~max_cg blockwise matvecs is tunnel-latency bound
+        # eager dispatch of ~max_cg blockwise matvecs is tunnel-latency
+        # bound. The (N, D) training inputs and (N,) noise are passed as jit
+        # ARGUMENTS: big closure constants are rejected by remote_compile
+        # (HTTP 413) at exactly the N this path targets.
         key = (Xnew.shape[0], bool(full_cov), id(kern))
         cache = getattr(self, "_predict_cache", None)
         if cache is None or cache[0] != key:
-            def predict_fn(Xn, alpha):
-                Kx = kern.K(pred_var, Xn)  # (N, n*)
+            def predict_fn(Xn, alpha, Xtr, noise):
+                Kx = kern.K(Xtr, Xn)  # (N, n*)
                 mu = Kx.T @ alpha
 
                 from ..ops.pallas_gram_matvec import (fused_available,
@@ -150,12 +153,11 @@ class IterativePosterior:
                     kk = self.kern
 
                     def mv(V):
-                        return kern_gram_matvec_fused(kk, self._X, V,
-                                                      noise=self._noise)
+                        return kern_gram_matvec_fused(kk, Xtr, V, noise=noise)
                 else:
                     def mv(V):
-                        return gram_matvec(self.kern, self._X, V,
-                                           noise=self._noise, block=self.block)
+                        return gram_matvec(self.kern, Xtr, V,
+                                           noise=noise, block=self.block)
 
                 sol, *_ = cg_batched(mv, Kx, maxiter=self.max_cg)
                 if full_cov:
@@ -166,7 +168,8 @@ class IterativePosterior:
                 return mu, var
 
             self._predict_cache = (key, jax.jit(predict_fn))
-        return self._predict_cache[1](Xnew, self.woodbury_vector)
+        return self._predict_cache[1](Xnew, self.woodbury_vector,
+                                      pred_var, self._noise)
 
 
 class IterativeGaussianInference(LatentFunctionInference):

@@ -213,6 +213,11 @@ class StateSpace(Model):
 
         Returns the same tuple as `_filter`.
         """
+        # degenerate series (single point: no step elements to compose) and
+        # pre-change serialized models (no parallel_chunks in __dict__) both
+        # route through the sequential filter
+        if times.shape[0] < 2:
+            return self._filter(times, ys, obs_mask)
         import jax.tree_util as jtu
 
         H, P0, A, Q, sigma2 = self._ssm(times)
@@ -283,7 +288,8 @@ class StateSpace(Model):
 
         # --- chunking (steps 2..N; pad with identity steps) --------------
         n_el = n - 1
-        C = self.parallel_chunks or max(1, min(256, int(np.sqrt(max(n_el, 1)) * 2)))
+        C = (getattr(self, "parallel_chunks", None)
+             or max(1, min(256, int(np.sqrt(max(n_el, 1)) * 2))))
         C = min(C, max(n_el, 1))
         L = -(-n_el // C)
         pad = C * L - n_el

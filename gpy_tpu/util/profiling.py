@@ -98,7 +98,11 @@ def profile_objective(model, n_calls: int = 5, logdir: str | None = None):
     objgrad = model._get_objgrad()
     flat = np.asarray(model.get_flat_raw())
     v, g = objgrad(jnp.asarray(flat))
-    float(v), np.asarray(g)  # compile + first-exec warmup
+    float(v), np.asarray(g)  # compile + first exec
+    # second warm exec with DISTINCT input: the first fresh-args execution
+    # after a compile pays a one-time ~20ms warmup that must not be timed
+    v, g = objgrad(jnp.asarray(flat * (1.0 + 1e-7)))
+    float(v), np.asarray(g)
     timer = StepTimer()
     ctx = trace(logdir) if logdir else contextlib.nullcontext()
     with ctx:

@@ -48,7 +48,10 @@ def record_all():
     import gpy_tpu.plotting as gplt
     from gpy_tpu.plotting import gpy_plot as gp
 
-    prev = os.environ.get("GPY_TPU_PLOTTING", "matplotlib")
+    # restore whatever library is ACTIVE in-process (an env-var default
+    # would clobber a programmatically selected backend)
+    prev = gplt._library_name[0] or os.environ.get("GPY_TPU_PLOTTING",
+                                                   "matplotlib")
     gplt.change_plotting_library("recording")
     try:
         m = _models()

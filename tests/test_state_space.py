@@ -124,6 +124,17 @@ def test_parallel_filter_matches_sequential():
     np.testing.assert_allclose(v1, v2, atol=1e-8)
 
 
+def test_parallel_filter_single_point():
+    """N=1 series: parallel=True must route through the sequential filter
+    (zero step elements would break chunk composition)."""
+    X = np.array([[0.7]])
+    Y = np.array([[0.3]])
+    seq = StateSpace(X, Y, kernel=gk.Matern32(1), noise_var=0.2, parallel=False)
+    par = StateSpace(X, Y, kernel=gk.Matern32(1), noise_var=0.2, parallel=True)
+    assert float(par.log_likelihood()) == pytest.approx(
+        float(seq.log_likelihood()), rel=1e-10)
+
+
 def test_parallel_filter_checkgrad():
     X, Y = _toy(25)
     par = StateSpace(X, Y, kernel=gk.Matern52(1), noise_var=0.2, parallel=True)
