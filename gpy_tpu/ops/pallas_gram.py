@@ -49,7 +49,11 @@ def _pallas_rbf_gram(Xs, X2s, v):
         xj = x2_ref[:]  # (BM, D)
         sq1 = jnp.sum(xi * xi, axis=-1)[:, None]
         sq2 = jnp.sum(xj * xj, axis=-1)[None, :]
-        cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype)
+        # explicit HIGHEST: Mosaic rejects an ambient 'high' matmul-precision
+        # context (only DEFAULT/HIGHEST lower), and the distance cross-term
+        # needs full f32 anyway (cancellation)
+        cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
         r2 = sq1 + sq2 - 2.0 * cross
         r2 = jnp.where(r2 < 0.0, 0.0, r2)
         out_ref[:] = v_ref[0, 0] * jnp.exp(-0.5 * r2)
