@@ -1,14 +1,18 @@
-"""Fused Pallas gram-matvec measurement (VERDICT r1 item 9). Run on chip:
+"""Fused Pallas gram-matvec measurement v2 (VERDICT r1 item 9). Run on chip:
 
     python _prof_fused_matvec.py [N]
 
-Measures, with the double-warm + fresh-input + host-fetch protocol:
-  1. dispatch floor;
-  2. VPU exp roofline: sum(exp(x)) on 67M elements vs sum(x) (exp rate);
-  3. N=50k: one materialized dense matvec (HBM-bound) vs one fused Pallas
-     matvec (VMEM-resident tiles), R=9 and R=128 (free-lane check);
-  4. N=100k fused matvec (impossible materialized: 40GB Gram);
-  5. end-to-end NLML+grad at N=50k: materialize-once vs fused.
+v1 lesson: timing one matvec per dispatch with a fresh host V confounds the
+number with the host->device transfer of V through the tunnel (51MB for
+R=128 — dominated everything). v2 chains matvecs ON DEVICE under lax.scan
+(power-iteration style: v <- K v / |K v|), times scan lengths 4 and 20, and
+reports (t20 - t4)/16 — dispatch floor, transfer, and warmup all cancel.
+
+Compares, at N (default 50k), R=128 columns:
+  * fused Pallas kernel, accum in {exact(6-pass), f32x3(3-pass), fast(1-pass)}
+  * materialized dense K @ V (the r1 default; K built once inside jit,
+    passed device-resident to the timed scan)
+plus accuracy of each accum vs exact, and end-to-end NLML+grad per accum.
 """
 import os
 import sys
@@ -23,103 +27,115 @@ def main():
     import jax
     import jax.numpy as jnp
     import gpy_tpu
-    from gpy_tpu.ops.pallas_gram_matvec import rbf_gram_matvec_fused
-    from gpy_tpu.ops.gram_matvec import gram_materialize
+    from gpy_tpu.ops.pallas_gram_matvec import stationary_gram_matvec_fused
 
-    # floor
-    f = jax.jit(lambda x: jnp.sum(x) * 1.000001)
-    float(f(jnp.ones(8, jnp.float32))); float(f(jnp.full(8, 1.5, jnp.float32)))
-    ts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        float(f(jnp.full(8, 2.0 + 0.1 * i, jnp.float32)))
-        ts.append(time.perf_counter() - t0)
-    floor = min(ts)
-    print(f"floor {floor*1e3:.1f} ms", flush=True)
-
-    def timed(fn, mk, n=3):
-        fn(mk(0)); fn(mk(1))
-        best = float("inf")
-        for i in range(2, 2 + n):
-            a = mk(i)
-            t0 = time.perf_counter()
-            fn(a)
-            best = min(best, time.perf_counter() - t0)
-        return max(best - floor, 0.0)
-
-    # --- exp roofline ------------------------------------------------------
-    M = 8192 * 8192  # 67M
-    base = np.linspace(-2, 0, 1024).astype(np.float32)
-    sum_only = jax.jit(lambda x: jnp.sum(x.reshape(-1, 1024) * base))
-    sum_exp = jax.jit(lambda x: jnp.sum(jnp.exp(x.reshape(-1, 1024) * base)))
-    mk = lambda i: jnp.full((M,), 0.5 + 0.01 * i, jnp.float32)
-    t_sum = timed(lambda a: float(sum_only(a)), mk)
-    t_exp = timed(lambda a: float(sum_exp(a)), mk)
-    rate = M / max(t_exp - t_sum, 1e-9) / 1e9
-    print(f"sum-only {t_sum*1e3:.1f} ms, sum-exp {t_exp*1e3:.1f} ms "
-          f"-> exp rate ~{rate:.0f} G/s", flush=True)
-
-    # --- matvec comparison at N=50k ---------------------------------------
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    D = 4
+    D, R = 4, 128
     rng = np.random.default_rng(0)
     X = (rng.random((N, D)) * 10.0).astype(np.float32)
     ls = np.asarray([1.0, 1.1, 0.9, 1.2], np.float32)
     noise = np.full(N, 0.1, np.float32)
+    V0 = rng.standard_normal((N, R)).astype(np.float32)
 
-    import gpy_tpu.kern as gk
-    k = gk.RBF(D, ARD=True)
-    k.lengthscale = ls
+    Xd = jax.device_put(jnp.asarray(X))
+    nd = jax.device_put(jnp.asarray(noise))
+    V0d = jax.device_put(jnp.asarray(V0))
 
-    @jax.jit
-    def dense_mv(K, V):
-        return jnp.sum(K @ V) * 1e-6
+    def chain(mv, k):
+        def body(v, _):
+            w = mv(v)
+            w = w / jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+            return w, ()
 
-    for R in (9, 128):
-        V = rng.standard_normal((N, R)).astype(np.float32)
+        def run(v0):
+            v, _ = jax.lax.scan(body, v0, None, length=k)
+            return jnp.sum(v[:64])  # small fetch
 
-        fused = jax.jit(lambda Xa, Va: jnp.sum(
-            rbf_gram_matvec_fused(Xa, Va, 1.3, ls, noise=jnp.asarray(noise))) * 1e-6)
-        t_f = timed(lambda a: float(fused(jnp.asarray(X), a)),
-                    lambda i: jnp.asarray(V + 1e-3 * i))
-        print(f"N={N} R={R}: fused matvec {t_f*1e3:.1f} ms", flush=True)
+        return jax.jit(run)
 
-    if N <= 60_000:
-        # materialized path (the r1 default)
-        Kmat, P = gram_materialize(k, jnp.asarray(X), noise=jnp.asarray(noise),
-                                   block=2048)
-        Kmat.block_until_ready()
-        for R in (9, 128):
-            V = rng.standard_normal((P, R)).astype(np.float32)
-            t_d = timed(lambda a: float(dense_mv(Kmat, a)),
-                        lambda i: jnp.asarray(V + 1e-3 * i))
-            gbs = (P * P * 4) / max(t_d, 1e-9) / 1e9
-            print(f"N={N} R={R}: dense matvec {t_d*1e3:.1f} ms (~{gbs:.0f} GB/s)",
-                  flush=True)
-        del Kmat
+    def time_chain(mv, tag):
+        f4, f20 = chain(mv, 4), chain(mv, 20)
+        for f in (f4, f20):
+            float(f(V0d)); float(f(V0d * 1.0001))  # compile + warm
+        t4 = min(_t(f4, V0d * (1.0 + 1e-4 * i)) for i in range(2, 5))
+        t20 = min(_t(f20, V0d * (1.0 + 1e-4 * i)) for i in range(5, 8))
+        per = (t20 - t4) / 16.0
+        print(f"{tag}: {per*1e3:.1f} ms/matvec  (t4={t4*1e3:.0f} t20={t20*1e3:.0f})",
+              flush=True)
+        return per
 
-    # --- end-to-end NLML+grad at N -----------------------------------------
+    def _t(f, v):
+        t0 = time.perf_counter()
+        float(f(v))
+        return time.perf_counter() - t0
+
+    results = {}
+    for accum in ("exact", "f32x3", "fast"):
+        mv = lambda v, a=accum: stationary_gram_matvec_fused(
+            Xd, v, 1.3, ls, family=0, noise=nd, accum=a)
+        results[accum] = time_chain(mv, f"fused[{accum}] N={N}")
+
+    # accuracy of f32x3/fast vs exact (single matvec, same input)
+    outs = {a: np.asarray(stationary_gram_matvec_fused(
+        Xd, V0d[:, :8], 1.3, ls, family=0, noise=nd, accum=a))
+        for a in ("exact", "f32x3", "fast")}
+    for a in ("f32x3", "fast"):
+        rel = np.max(np.abs(outs[a] - outs["exact"])) / np.max(np.abs(outs["exact"]))
+        print(f"accum={a}: max rel err vs exact = {rel:.2e}", flush=True)
+
+    # materialized dense baseline (r1 default), K device-resident
+    if N <= 55_000:
+        import gpy_tpu.kern as gk
+        from gpy_tpu.ops.gram_matvec import gram_materialize
+
+        k = gk.RBF(D, ARD=True)
+        k.lengthscale = ls
+
+        @jax.jit
+        def build(Xa, na):
+            K, P = gram_materialize(k, Xa, noise=na, block=2048)
+            return K
+
+        Kd = build(Xd, nd)
+        Kd.block_until_ready()
+        P = Kd.shape[0]
+        V0p = jnp.concatenate([V0d, jnp.zeros((P - N, R), jnp.float32)], 0)
+
+        def mv_dense(v):
+            return Kd @ v  # closure capture is fine: K already on device
+
+        f4, f20 = chain(mv_dense, 4), chain(mv_dense, 20)
+        for f in (f4, f20):
+            float(f(V0p)); float(f(V0p * 1.0001))
+        t4 = min(_t(f4, V0p * (1.0 + 1e-4 * i)) for i in range(2, 5))
+        t20 = min(_t(f20, V0p * (1.0 + 1e-4 * i)) for i in range(5, 8))
+        print(f"dense[materialized] N={N}: {(t20-t4)/16*1e3:.1f} ms/matvec "
+              f"(t4={t4*1e3:.0f} t20={t20*1e3:.0f})", flush=True)
+        del Kd
+
+    # end-to-end NLML+grad per accum
     from gpy_tpu.models import GPRegression
     from gpy_tpu.inference.iterative import IterativeGaussianInference
 
     Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))).astype(np.float32)
-    for tag, kw in (("materialized", dict(materialize=True)),
-                    ("fused", dict(materialize=False, fused=True)),
-                    ("fused-p32", dict(materialize=False, fused=True, n_probes=32))):
-        if N > 60_000 and tag == "materialized":
-            continue
+    for accum in ("exact", "f32x3", "fast"):
         m = GPRegression(X, Y, noise_var=0.1,
                          inference_method=IterativeGaussianInference(
-                             max_cg=48, block=2048, **kw))
+                             max_cg=48, n_probes=8, block=2048,
+                             materialize=False, fused=True, fused_accum=accum))
         og = m._get_objgrad()
         fl = np.asarray(m.get_flat_raw())
-
-        def run(a):
-            v, g = og(a)
-            float(v); np.asarray(g)
-
-        t = timed(run, lambda i: jnp.asarray(fl + 1e-3 * i))
-        print(f"N={N} NLML+grad {tag}: {t*1e3:.0f} ms", flush=True)
+        v, g = og(jnp.asarray(fl)); float(v); np.asarray(g)
+        v, g = og(jnp.asarray(fl * 1.0001)); float(v); np.asarray(g)
+        best = float("inf")
+        vals = []
+        for i in range(2, 4):
+            t0 = time.perf_counter()
+            v, g = og(jnp.asarray(fl + 1e-3 * i)); vv = float(v); np.asarray(g)
+            best = min(best, time.perf_counter() - t0)
+            vals.append(vv)
+        print(f"N={N} NLML+grad fused[{accum}]: {best*1e3:.0f} ms "
+              f"(value {vals[0]:.1f})", flush=True)
 
 
 if __name__ == "__main__":

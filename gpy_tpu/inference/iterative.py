@@ -182,7 +182,7 @@ class IterativeGaussianInference(LatentFunctionInference):
 
     def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0,
                  materialize="auto", materialize_max_n=50_000, precond_rank=0,
-                 gram_dtype=None, fused=False):
+                 gram_dtype=None, fused=False, fused_accum="exact"):
         self.max_cg = max_cg
         self.n_probes = n_probes
         self.block = block
@@ -222,6 +222,11 @@ class IterativeGaussianInference(LatentFunctionInference):
         # MXU lanes make probe columns up to 128 free — consider raising
         # n_probes when fused.
         self.fused = fused
+        # fused_accum: precision of the in-kernel accumulate dot —
+        # "exact" (6-pass, f32-exact), "f32x3" (manual 3-pass split,
+        # ~1.5e-5 relative at half the cost), "fast" (1-pass bf16, the
+        # gram_dtype="bfloat16" accuracy class at ~6x the dot throughput)
+        self.fused_accum = fused_accum
         self._jit_cache = {}
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
@@ -281,7 +286,8 @@ class IterativeGaussianInference(LatentFunctionInference):
             noise_fsg = lax.stop_gradient(noise)
 
             def mv_sg(V):
-                return kern_gram_matvec_fused(k_sg, X_sg, V, noise=noise_fsg)
+                return kern_gram_matvec_fused(k_sg, X_sg, V, noise=noise_fsg,
+                                              accum=self.fused_accum)
         elif do_mat:
             from ..ops.gram_matvec import gram_materialize
 

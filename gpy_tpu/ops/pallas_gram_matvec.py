@@ -66,8 +66,8 @@ def _k_of_r2(family, r2, v):
     return v * jnp.exp(-r)  # Exponential / OU
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "family"))
-def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0):
+@functools.partial(jax.jit, static_argnames=("interpret", "family", "accum"))
+def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0, accum="exact"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -90,10 +90,28 @@ def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0):
         r2 = sq_i + sq_j - 2.0 * cross
         r2 = jnp.where(r2 < 0.0, 0.0, r2)
         kt = _k_of_r2(family, r2, scal_ref[0, 0])
-        acc = jax.lax.dot_general(
-            kt, vj, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        dims = (((1,), (0,)), ((), ()))
+        if accum == "exact":
+            # 6 bf16 passes — f32-exact accumulate (the default)
+            acc = jax.lax.dot_general(
+                kt, vj, dims, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        elif accum == "f32x3":
+            # manual mantissa split: hi*hi + hi*lo + lo*hi one-pass dots
+            # (~1.5e-5 relative — f32-class at half the 6-pass cost;
+            # Mosaic cannot lower Precision.HIGH, so the 3-pass form is
+            # hand-written)
+            kt_hi = kt.astype(jnp.bfloat16)
+            kt_lo = (kt - kt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            vj_hi = vj.astype(jnp.bfloat16)
+            vj_lo = (vj - vj_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dot = lambda a, b: jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+            acc = dot(kt_hi, vj_hi) + dot(kt_hi, vj_lo) + dot(kt_lo, vj_hi)
+        else:  # "fast": one bf16 pass — entry rounding ~4e-3, the same
+            # accuracy class as the documented gram_dtype="bfloat16" option
+            acc = jax.lax.dot_general(
+                kt, vj, dims, preferred_element_type=jnp.float32)
 
         @pl.when(j == 0)
         def _init():
@@ -122,7 +140,8 @@ def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0):
 
 
 def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
-                                 noise=None, interpret=None, X2=None):
+                                 noise=None, interpret=None, X2=None,
+                                 accum="exact"):
     """(K_family(scaled dist) + diag(noise)) @ V, fused (family: _FAMILIES).
 
     X: (N, D) rows of the product; X2: (M, D) columns (default X — square
@@ -160,7 +179,7 @@ def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
     v = jnp.reshape(jnp.asarray(variance, jnp.float32), (1, 1))
 
     out = _pallas_call(Xrp, Xcp, Vp, v, interpret=bool(interpret),
-                       family=int(family))[:N, :R]
+                       family=int(family), accum=accum)[:N, :R]
     if noise is not None:
         out = out + noise[:, None] * V2
     out = out.astype(V2.dtype)
@@ -168,16 +187,19 @@ def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
 
 
 def rbf_gram_matvec_fused(X, V, variance, lengthscale, noise=None,
-                          interpret=None):
+                          interpret=None, accum="exact"):
     """RBF specialization of stationary_gram_matvec_fused."""
     return stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
-                                        noise=noise, interpret=interpret)
+                                        noise=noise, interpret=interpret,
+                                        accum=accum)
 
 
-def kern_gram_matvec_fused(kern, X, V, noise=None, interpret=None, X2=None):
+def kern_gram_matvec_fused(kern, X, V, noise=None, interpret=None, X2=None,
+                           accum="exact"):
     """Dispatch on a kernel object (must satisfy fused_available)."""
     fam = _FAMILIES[type(kern).__name__]
     return stationary_gram_matvec_fused(
         kern._slice(X), V, jnp.asarray(kern.variance),
         jnp.asarray(kern.lengthscale), family=fam, noise=noise,
-        interpret=interpret, X2=None if X2 is None else kern._slice(X2))
+        interpret=interpret, X2=None if X2 is None else kern._slice(X2),
+        accum=accum)

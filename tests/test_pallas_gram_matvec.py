@@ -50,6 +50,24 @@ def test_fused_stationary_family(kname):
     assert np.max(np.abs(out - ref)) < 1e-3 * np.max(np.abs(ref)) + 1e-3
 
 
+@pytest.mark.parametrize("accum,tol", [("f32x3", 3e-4), ("fast", 3e-2)])
+def test_fused_accum_variants(accum, tol):
+    """Reduced-precision accumulate dots stay within their documented error
+    class of the exact 6-pass path."""
+    from gpy_tpu.ops.pallas_gram_matvec import stationary_gram_matvec_fused
+
+    rng = np.random.default_rng(9)
+    X = rng.random((512, 3)).astype(np.float32) * 3.0
+    V = rng.standard_normal((512, 4)).astype(np.float32)
+    kw = dict(variance=1.3, lengthscale=0.8, family=0, interpret=True)
+    ref = np.asarray(stationary_gram_matvec_fused(
+        jnp.asarray(X), jnp.asarray(V), accum="exact", **kw))
+    out = np.asarray(stationary_gram_matvec_fused(
+        jnp.asarray(X), jnp.asarray(V), accum=accum, **kw))
+    rel = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-30)
+    assert rel < tol, rel
+
+
 def test_fused_rectangular_slab():
     from gpy_tpu.ops.pallas_gram_matvec import kern_gram_matvec_fused
 
