@@ -290,6 +290,31 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: N=50k with bf16 Gram storage (opt-in throughput mode; SLQ
+    # logdet bias 0.5-2% — pinned by tests/test_iterative.py) ---------------
+    try:
+        signal.alarm(240)
+        print("bench: exact 50k bf16-gram extra...", file=sys.stderr, flush=True)
+        mb16 = GPRegression(Xi, Yi, noise_var=0.1,
+                            inference_method=IterativeGaussianInference(
+                                max_cg=48, n_probes=8, block=2048,
+                                materialize=True, gram_dtype="bfloat16"))
+        ogb = mb16._get_objgrad()
+        flat_b = np.asarray(mb16.get_flat_raw())
+        v, g = ogb(jnp.asarray(flat_b))
+        float(v), np.asarray(g)
+        best_b16 = float("inf")
+        for i in range(1, 3):
+            t0 = time.perf_counter()
+            v, g = ogb(jnp.asarray(flat_b + 1e-3 * i))
+            float(v), np.asarray(g)
+            best_b16 = min(best_b16, time.perf_counter() - t0)
+        extra["exact50k_cg_nlml_grad_ms_bf16gram"] = round(best_b16 * 1e3, 1)
+    except Exception as e:  # pragma: no cover
+        extra["exact50k_bf16_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     # --- extra: SVGP at N=10M on one chip (BASELINE config #4 scale axis;
     # dataset is passed to the compiled chunk as an argument, never a
     # captured constant) ----------------------------------------------------
