@@ -101,17 +101,22 @@ def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0, accum="exact"):
             # (~1.5e-5 relative — f32-class at half the 6-pass cost;
             # Mosaic cannot lower Precision.HIGH, so the 3-pass form is
             # hand-written)
+            # explicit DEFAULT precision: the ambient 'highest' config would
+            # stamp contract_precision=fp32 onto bf16 operands, which Mosaic
+            # rejects ("Bad lhs type")
             kt_hi = kt.astype(jnp.bfloat16)
             kt_lo = (kt - kt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             vj_hi = vj.astype(jnp.bfloat16)
             vj_lo = (vj - vj_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             dot = lambda a, b: jax.lax.dot_general(
-                a, b, dims, preferred_element_type=jnp.float32)
+                a, b, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
             acc = dot(kt_hi, vj_hi) + dot(kt_hi, vj_lo) + dot(kt_lo, vj_hi)
         else:  # "fast": one bf16 pass — entry rounding ~4e-3, the same
             # accuracy class as the documented gram_dtype="bfloat16" option
             acc = jax.lax.dot_general(
-                kt, vj, dims, preferred_element_type=jnp.float32)
+                kt, vj, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
 
         @pl.when(j == 0)
         def _init():
