@@ -81,14 +81,24 @@ def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0, accum="exact"):
         xi = x_ref[:]            # (BN, D) scaled rows
         xj = xj_ref[:]           # (BM, D)
         vj = vj_ref[:]           # (BM, R)
-        cross = jax.lax.dot_general(
-            xi, xj, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        sq_i = jnp.sum(xi * xi, axis=1)[:, None]
-        sq_j = jnp.sum(xj * xj, axis=1)[None, :]
-        r2 = sq_i + sq_j - 2.0 * cross
-        r2 = jnp.where(r2 < 0.0, 0.0, r2)
+        if D <= 8:
+            # direct per-dimension squared differences on the VPU: exact f32
+            # (no expansion cancellation, no clamp), cheaper than a 6-pass
+            # MXU dot at shallow contraction depth, and overlaps with the
+            # accumulate matmul below
+            r2 = jnp.zeros((xi.shape[0], xj.shape[0]), jnp.float32)
+            for d in range(D):
+                diff = xi[:, d][:, None] - xj[:, d][None, :]
+                r2 = r2 + diff * diff
+        else:
+            cross = jax.lax.dot_general(
+                xi, xj, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            sq_i = jnp.sum(xi * xi, axis=1)[:, None]
+            sq_j = jnp.sum(xj * xj, axis=1)[None, :]
+            r2 = sq_i + sq_j - 2.0 * cross
+            r2 = jnp.where(r2 < 0.0, 0.0, r2)
         kt = _k_of_r2(family, r2, scal_ref[0, 0])
         dims = (((1,), (0,)), ((), ()))
         if accum == "exact":
