@@ -101,14 +101,30 @@ def main():
         P = Kd.shape[0]
         V0p = jnp.concatenate([V0d, jnp.zeros((P - N, R), jnp.float32)], 0)
 
-        def mv_dense(v):
-            return Kd @ v  # closure capture is fine: K already on device
+        # K must be a jit ARGUMENT: a closure capture embeds all 10GB as a
+        # lowering constant (and remote_compile rejects it)
+        def chain_k(k_iters):
+            def run(v0, K):
+                def bd(v, _):
+                    w = K @ v
+                    w = w / jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+                    return w, ()
+                v, _ = jax.lax.scan(bd, v0, None, length=k_iters)
+                return jnp.sum(v[:64])
 
-        f4, f20 = chain(mv_dense, 4), chain(mv_dense, 20)
+            return jax.jit(run)
+
+        f4, f20 = chain_k(4), chain_k(20)
         for f in (f4, f20):
-            float(f(V0p)); float(f(V0p * 1.0001))
-        t4 = min(_t(f4, V0p * (1.0 + 1e-4 * i)) for i in range(2, 5))
-        t20 = min(_t(f20, V0p * (1.0 + 1e-4 * i)) for i in range(5, 8))
+            float(f(V0p, Kd)); float(f(V0p * 1.0001, Kd))
+
+        def _tk(f, v):
+            t0 = time.perf_counter()
+            float(f(v, Kd))
+            return time.perf_counter() - t0
+
+        t4 = min(_tk(f4, V0p * (1.0 + 1e-4 * i)) for i in range(2, 5))
+        t20 = min(_tk(f20, V0p * (1.0 + 1e-4 * i)) for i in range(5, 8))
         print(f"dense[materialized] N={N}: {(t20-t4)/16*1e3:.1f} ms/matvec "
               f"(t4={t4*1e3:.0f} t20={t20*1e3:.0f})", flush=True)
         del Kd
