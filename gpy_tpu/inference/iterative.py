@@ -277,7 +277,12 @@ class IterativeGaussianInference(LatentFunctionInference):
         k_sg = kern.stop_gradient() if hasattr(kern, "stop_gradient") else kern
         from ..ops.pallas_gram_matvec import fused_available, kern_gram_matvec_fused
 
-        do_fused = self.fused and fused_available(k_sg)
+        # auto policy: materialize while the Gram fits (fastest per sweep);
+        # past the cap, prefer the fused Pallas kernel over the blockwise
+        # streamed path when the kernel/backend support it
+        do_fused = fused_available(k_sg) and (
+            self.fused
+            or (self.materialize == "auto" and N > self.materialize_max_n))
         do_mat = (not do_fused
                   and (self.materialize is True
                        or (self.materialize == "auto" and N <= self.materialize_max_n)))
