@@ -182,7 +182,7 @@ class IterativeGaussianInference(LatentFunctionInference):
 
     def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0,
                  materialize="auto", materialize_max_n=50_000, precond_rank=0,
-                 gram_dtype=None, fused=False, fused_accum="exact"):
+                 gram_dtype=None, fused=False, fused_accum="f32x3"):
         self.max_cg = max_cg
         self.n_probes = n_probes
         self.block = block
@@ -223,9 +223,11 @@ class IterativeGaussianInference(LatentFunctionInference):
         # n_probes when fused.
         self.fused = fused
         # fused_accum: precision of the in-kernel accumulate dot —
-        # "exact" (6-pass, f32-exact), "f32x3" (manual 3-pass split,
-        # ~1.5e-5 relative at half the cost), "fast" (1-pass bf16, the
-        # gram_dtype="bfloat16" accuracy class at ~6x the dot throughput)
+        # "f32x3" (default: manual 3-pass bf16 split, ~5e-6 relative —
+        # f32-class; measured 24.9 vs 35.1 ms/matvec over "exact" at N=50k),
+        # "exact" (6-pass), "fast" (1-pass bf16, ~3e-3: fine for prediction
+        # solves but BIASES the SLQ logdet through stalled CG coefficients —
+        # measured ~10% NLML error at N=50k; do not use for training)
         self.fused_accum = fused_accum
         self._jit_cache = {}
 
