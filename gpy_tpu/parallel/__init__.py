@@ -292,7 +292,8 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
 
 
 def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
-                        axis_name: str = "data", fused=False):
+                        axis_name: str = "data", fused=False,
+                        fused_accum="f32x3"):
     """(K(X,X) + diag(noise)) @ V with rows of K sharded over the mesh.
 
     The within-matrix sharding of SURVEY.md §5: each device streams its row
@@ -322,7 +323,8 @@ def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
         k2 = kern.with_raw_dict(kraw_in)
         if use_fused:
             # per-device rectangular slab through the Pallas fused kernel
-            out = kern_gram_matvec_fused(k2, mv_X_loc, V_full, X2=X_full)
+            out = kern_gram_matvec_fused(k2, mv_X_loc, V_full, X2=X_full,
+                                         accum=fused_accum)
         else:
             out = gram_matvec_rows(k2, mv_X_loc, X_full, V_full, block)
         return out + noise_loc[:, None] * V_loc
@@ -354,7 +356,7 @@ def sharded_gram_matvec(mesh: Mesh, kern, X, V, noise=None, block=2048,
 
 def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
                                 block=2048, seed=0, axis_name: str = "data",
-                                fused=False):
+                                fused=False, fused_accum="f32x3"):
     """NLML + gradient of an exact GP with the Gram rows sharded over the
     mesh — multi-chip matrix-free exact inference (iterative.py recipe with
     sharded_gram_matvec as the engine).
@@ -383,7 +385,7 @@ def sharded_iterative_nlml_grad(mesh: Mesh, model, max_cg=48, n_probes=8,
             return sharded_gram_matvec(mesh, k_sg, X, V,
                                        noise=jax.lax.stop_gradient(noise),
                                        block=block, axis_name=axis_name,
-                                       fused=fused)
+                                       fused=fused, fused_accum=fused_accum)
 
         RHS = jnp.concatenate([Y, Z], axis=1)
         sol, alphas, betas, _ = cg_batched(mv_sg, RHS, maxiter=max_cg)
