@@ -380,3 +380,32 @@ def multioutput_gp_with_derivative_observations_2D(optimize=True, plot=False):
     if optimize:
         m.optimize(max_iters=100)
     return m
+
+
+def large_scale_iterative_regression(num_samples=20_000, max_iters=30,
+                                     optimize=True, plot=False, fused=None):
+    """Exact GP regression far past the dense-Cholesky memory wall.
+
+    Matrix-free CG + stochastic Lanczos quadrature
+    (inference/iterative.py); past ~50k rows the auto policy switches from
+    the materialized Gram to the fused Pallas gram-matvec whose tiles never
+    leave VMEM (measured N=100k NLML+grad ~5.4s on one v5e chip, where the
+    dense 40GB Gram cannot exist). No reference analogue: GPy materializes
+    K (exact_gaussian_inference.py:53) and is memory-bound at ~20k rows.
+    """
+    from ..inference.iterative import IterativeGaussianInference
+    from ..models import GPRegression
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 10, (num_samples, 2))
+    Y = (np.sin(X[:, :1]) * np.cos(0.5 * X[:, 1:2])
+         + 0.1 * rng.normal(size=(num_samples, 1)))
+    inf = IterativeGaussianInference(max_cg=48, n_probes=8,
+                                    **({} if fused is None else {"fused": fused}))
+    m = GPRegression(X.astype(np.float32), Y.astype(np.float32),
+                     noise_var=0.1, inference_method=inf)
+    if optimize:
+        m.optimize(optimizer="adam", max_iters=max_iters, step_size=3e-2)
+    if plot:
+        m.plot()
+    return m
