@@ -124,7 +124,7 @@ class IterativePosterior:
     """Posterior container backed by CG solves (no cholesky anywhere)."""
 
     def __init__(self, kern, X, noise, alpha, max_cg=64, block=2048,
-                 fused=False):
+                 fused=False, fused_accum="f32x3"):
         self.kern = kern
         self._X = X
         self._noise = noise
@@ -132,6 +132,7 @@ class IterativePosterior:
         self.max_cg = max_cg
         self.block = block
         self.fused = fused
+        self.fused_accum = fused_accum
 
     def _raw_predict(self, kern, Xnew, pred_var, full_cov=False):
         # the CG loop dominates; jit it once per (n*, full_cov) shape —
@@ -153,7 +154,9 @@ class IterativePosterior:
                     kk = self.kern
 
                     def mv(V):
-                        return kern_gram_matvec_fused(kk, Xtr, V, noise=noise)
+                        return kern_gram_matvec_fused(
+                            kk, Xtr, V, noise=noise,
+                            accum=getattr(self, "fused_accum", "f32x3"))
                 else:
                     def mv(V):
                         return gram_matvec(self.kern, Xtr, V,
@@ -257,13 +260,15 @@ class IterativeGaussianInference(LatentFunctionInference):
                 kern.get_raw_dict(), likelihood.get_raw_dict(), X, Y)
             posterior = IterativePosterior(kern, X, noise, alpha,
                                            max_cg=self.max_cg, block=self.block,
-                                           fused=self.fused)
+                                           fused=self.fused,
+                                           fused_accum=self.fused_accum)
             return posterior, log_marginal
         alpha, log_marginal, noise = self._inference_core(
             kern, X, likelihood, Y, Y_metadata, mean_function)
         posterior = IterativePosterior(kern, X, noise, alpha,
                                        max_cg=self.max_cg, block=self.block,
-                                       fused=self.fused)
+                                       fused=self.fused,
+                                       fused_accum=self.fused_accum)
         return posterior, log_marginal
 
     def _inference_core(self, kern, X, likelihood, Y, Y_metadata=None,
