@@ -472,11 +472,12 @@ def main():
         Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
         mh = GPRegression(Xh, Yh, noise_var=0.1)
         hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
-        # chain counts above 8 are gated: 32 vmapped chains faulted the TPU
-        # worker in round 1 and a bench crash can wedge machine state. The
-        # gate opens only after _prof_hmc_bisect.py has validated the count
-        # on this hardware (run it, then set GPY_BENCH_HMC_MAX=16).
-        hmc_max = int(os.environ.get("GPY_BENCH_HMC_MAX", "8"))
+        # chain counts are gated on hardware validation via
+        # _prof_hmc_bisect.py: the round-1 32-chain worker fault did NOT
+        # reproduce on 2026-08-21 (8/16/32 chains all OK at N=250/500/1000,
+        # twice for 16) — default gate 16; raise via GPY_BENCH_HMC_MAX after
+        # re-running the bisect on new machine state.
+        hmc_max = int(os.environ.get("GPY_BENCH_HMC_MAX", "16"))
         curve = {}
         print("bench: hmc scaling curve...", file=sys.stderr, flush=True)
         for n_c in (1, 2, 4, 8, 16):
