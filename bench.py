@@ -162,15 +162,17 @@ def measure_linalg_tfs(jax, jnp, floor_s):
 
             return run
 
-        g2, g10 = gram_chain(2), gram_chain(10)
-        for f in (g2, g10):
+        # 48-iteration difference: a 4096 gram is ~0.15ms, so the 8-iter
+        # difference (1.2ms) drowned in the +-4ms tunnel timing noise
+        g2, g50 = gram_chain(2), gram_chain(50)
+        for f in (g2, g50):
             float(f(Xg, jnp.float32(0.0)))
             float(f(Xg, jnp.float32(1e-3)))
         t2 = min(_timed_scalar(f, Xg, 1e-3 * i) for i, f in
                  [(2, g2), (3, g2), (4, g2)])
-        t10 = min(_timed_scalar(f, Xg, 1e-3 * i) for i, f in
-                  [(5, g10), (6, g10), (7, g10)])
-        t = max((t10 - t2) / 8.0, 1e-6)
+        t50 = min(_timed_scalar(f, Xg, 1e-3 * i) for i, f in
+                  [(5, g50), (6, g50), (7, g50)])
+        t = max((t50 - t2) / 48.0, 1e-6)
         out[f"gram{n}_tfs"] = round(2.0 * n * n * D / t / 1e12, 2)
         out[f"gram{n}_ms"] = round(t * 1e3, 3)
 
