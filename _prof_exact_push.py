@@ -123,6 +123,7 @@ def main():
     # the question is about the XLA formulation anyway
     from gpy_tpu.config import config as _cfg
 
+    _prev_pallas = _cfg.use_pallas
     _cfg.use_pallas = False
 
     def refloor():
@@ -149,7 +150,8 @@ def main():
     with jax.default_matmul_precision("high"):
         g_h = np.asarray(jax.jit(lambda Xa: k.K(Xa))(jnp.asarray(X))[:64, :64])
     print("gram high-vs-highest max abs diff:", float(np.abs(g_hi - g_h).max()), flush=True)
-    _cfg.use_pallas = True
+
+    _cfg.use_pallas = _prev_pallas
 
     # --- stage 5: trsm/backward precision — time the full NLML+grad with the
     # O(N^3) matmul-heavy pieces under 'high' (3-pass) vs 'highest' (6-pass)

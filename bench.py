@@ -93,9 +93,10 @@ def _timed_scalar(f, A, s):
     return time.perf_counter() - t0
 
 
-def measure_linalg_tfs(jax, jnp, floor_s):
+def measure_linalg_tfs(jax, jnp):
     """Speed-of-light section (VERDICT r1 weak #2): blocked Cholesky and
-    kernel-Gram TF/s at N=4096/8192, double-warmed, floor-subtracted."""
+    kernel-Gram TF/s at N=4096/8192 via scan-chained two-length differencing
+    (which cancels the dispatch floor — no explicit subtraction needed)."""
     from gpy_tpu.util.linalg import jitchol
     import gpy_tpu.kern as gk
 
@@ -242,7 +243,7 @@ def main():
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(240)
         print("bench: linalg TF/s section...", file=sys.stderr, flush=True)
-        extra.update(measure_linalg_tfs(jax, jnp, floor_ms / 1e3))
+        extra.update(measure_linalg_tfs(jax, jnp))
     except Exception as e:  # pragma: no cover
         extra["linalg_tfs_error"] = str(e)[:100]
     finally:
@@ -500,9 +501,12 @@ def main():
         signal.alarm(0)
 
     # r1-comparable 8-chain point, own alarm window (the curve above can eat
-    # a whole 420s through a slow tunnel; r2 first run lost this metric)
+    # a whole 420s through a slow tunnel; r2 first run lost this metric);
+    # honors the same chain-count gate as the curve
     try:
         signal.alarm(300)
+        if int(os.environ.get("GPY_BENCH_HMC_MAX", "16")) < 8:
+            raise RuntimeError("8-chain point gated off by GPY_BENCH_HMC_MAX")
         n_s8 = 40
         hmc.sample(num_samples=n_s8, num_chains=8, seed=0)  # compile+warm
         best8 = float("inf")

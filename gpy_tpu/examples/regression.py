@@ -394,7 +394,6 @@ def large_scale_iterative_regression(num_samples=20_000, max_iters=30,
     K (exact_gaussian_inference.py:53) and is memory-bound at ~20k rows.
     """
     from ..inference.iterative import IterativeGaussianInference
-    from ..models import GPRegression
 
     rng = np.random.default_rng(0)
     X = rng.uniform(0, 10, (num_samples, 2))

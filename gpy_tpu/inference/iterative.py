@@ -234,6 +234,15 @@ class IterativeGaussianInference(LatentFunctionInference):
         self.fused_accum = fused_accum
         self._jit_cache = {}
 
+    def _effective_fused(self, kern, N):
+        """The auto policy, shared by training and the prediction posterior:
+        explicit fused=True, or auto past the materialization cap."""
+        from ..ops.pallas_gram_matvec import fused_available
+
+        return fused_available(kern) and (
+            self.fused
+            or (self.materialize == "auto" and N > self.materialize_max_n))
+
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
         # Eager calls (the GP.posterior property, eager log_likelihood) would
         # dispatch ~max_cg blockwise matvecs one by one — latency-bound
@@ -260,14 +269,16 @@ class IterativeGaussianInference(LatentFunctionInference):
                 kern.get_raw_dict(), likelihood.get_raw_dict(), X, Y)
             posterior = IterativePosterior(kern, X, noise, alpha,
                                            max_cg=self.max_cg, block=self.block,
-                                           fused=self.fused,
+                                           fused=self._effective_fused(
+                                               kern, X.shape[0]),
                                            fused_accum=self.fused_accum)
             return posterior, log_marginal
         alpha, log_marginal, noise = self._inference_core(
             kern, X, likelihood, Y, Y_metadata, mean_function)
         posterior = IterativePosterior(kern, X, noise, alpha,
                                        max_cg=self.max_cg, block=self.block,
-                                       fused=self.fused,
+                                       fused=self._effective_fused(
+                                           kern, X.shape[0]),
                                        fused_accum=self.fused_accum)
         return posterior, log_marginal
 
@@ -287,9 +298,7 @@ class IterativeGaussianInference(LatentFunctionInference):
         # auto policy: materialize while the Gram fits (fastest per sweep);
         # past the cap, prefer the fused Pallas kernel over the blockwise
         # streamed path when the kernel/backend support it
-        do_fused = fused_available(k_sg) and (
-            self.fused
-            or (self.materialize == "auto" and N > self.materialize_max_n))
+        do_fused = self._effective_fused(k_sg, N)
         do_mat = (not do_fused
                   and (self.materialize is True
                        or (self.materialize == "auto" and N <= self.materialize_max_n)))

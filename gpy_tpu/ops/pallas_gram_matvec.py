@@ -68,6 +68,10 @@ def _k_of_r2(family, r2, v):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "family", "accum"))
 def _pallas_call(Xrow, Xcol, Vp, v, interpret=False, family=0, accum="exact"):
+    if accum not in ("exact", "f32x3", "fast"):
+        # an unknown string must not silently fall through to the lowest
+        # precision path (whose SLQ bias makes training silently wrong)
+        raise ValueError(f"accum must be exact|f32x3|fast, got {accum!r}")
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
