@@ -219,7 +219,9 @@ class IterativeGaussianInference(LatentFunctionInference):
         self.gram_dtype = gram_dtype
         # fused=True: run the stop-gradient CG matvecs through the Pallas
         # fused gram-matvec (ops/pallas_gram_matvec.py) — the Gram tile never
-        # leaves VMEM, so peak memory is O(N*R) instead of the materialized
+        # leaves VMEM, so peak memory is O(N*R) instead of the materialized.
+        # The fused kernel computes in float32 (X/V are cast); under x64 this
+        # is an explicit opt-in, and the "auto" policy skips it for f64
         # O(N^2): single-chip exact-GP N is then time-bound, not HBM-bound.
         # RBF-only; silently falls back to the blockwise path otherwise.
         # MXU lanes make probe columns up to 128 free — consider raising
@@ -234,14 +236,21 @@ class IterativeGaussianInference(LatentFunctionInference):
         self.fused_accum = fused_accum
         self._jit_cache = {}
 
-    def _effective_fused(self, kern, N):
+    def _effective_fused(self, kern, N, dtype=None):
         """The auto policy, shared by training and the prediction posterior:
-        explicit fused=True, or auto past the materialization cap."""
+        explicit fused=True, or auto past the materialization cap.
+
+        The fused kernel computes in float32; the *auto* branch therefore
+        only engages for f32-class inputs — under x64 it must not silently
+        downgrade the CG sweeps (explicit fused=True remains an opt-in that
+        accepts the f32 cast, like gram_dtype="bfloat16")."""
         from ..ops.pallas_gram_matvec import fused_available
 
+        f32_ok = dtype is None or jnp.dtype(dtype).itemsize <= 4
         return fused_available(kern) and (
             self.fused
-            or (self.materialize == "auto" and N > self.materialize_max_n))
+            or (self.materialize == "auto" and N > self.materialize_max_n
+                and f32_ok))
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
         # Eager calls (the GP.posterior property, eager log_likelihood) would
@@ -270,7 +279,7 @@ class IterativeGaussianInference(LatentFunctionInference):
             posterior = IterativePosterior(kern, X, noise, alpha,
                                            max_cg=self.max_cg, block=self.block,
                                            fused=self._effective_fused(
-                                               kern, X.shape[0]),
+                                               kern, X.shape[0], X.dtype),
                                            fused_accum=self.fused_accum)
             return posterior, log_marginal
         alpha, log_marginal, noise = self._inference_core(
@@ -278,7 +287,7 @@ class IterativeGaussianInference(LatentFunctionInference):
         posterior = IterativePosterior(kern, X, noise, alpha,
                                        max_cg=self.max_cg, block=self.block,
                                        fused=self._effective_fused(
-                                           kern, X.shape[0]),
+                                           kern, X.shape[0], X.dtype),
                                        fused_accum=self.fused_accum)
         return posterior, log_marginal
 
@@ -298,7 +307,7 @@ class IterativeGaussianInference(LatentFunctionInference):
         # auto policy: materialize while the Gram fits (fastest per sweep);
         # past the cap, prefer the fused Pallas kernel over the blockwise
         # streamed path when the kernel/backend support it
-        do_fused = self._effective_fused(k_sg, N)
+        do_fused = self._effective_fused(k_sg, N, X.dtype)
         do_mat = (not do_fused
                   and (self.materialize is True
                        or (self.materialize == "auto" and N <= self.materialize_max_n)))

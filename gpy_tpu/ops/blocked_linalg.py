@@ -23,9 +23,12 @@ __all__ = [
     "rec_solve_lower",
     "rec_solve_lower_t",
     "rec_rsolve_lower_t",
+    "rec_chol_inv",
     "solve_lower_auto",
     "cholesky_auto",
     "REC_CHOL_MIN_N",
+    "BATCHED_REC_MIN_N",
+    "BATCHED_REC_LEAF",
 ]
 
 # Below this size the XLA native ops win (no recursion overhead); measured
@@ -84,6 +87,46 @@ def rec_solve_lower_t(L, B, leaf=_LEAF):
     X2 = rec_solve_lower_t(L[m:, m:], B[m:], leaf)
     X1 = rec_solve_lower_t(L[:m, :m], B[:m] - L[m:, :m].T @ X2, leaf)
     return jnp.concatenate([X1, X2], 0)
+
+
+# --- batched (leading-dims) blocked chol + inverse --------------------------
+# XLA's native cholesky/triangular_solve SERIALIZE over batch elements on
+# TPU (measured: vmapped chol(1000) over 8 chains costs ~8x one chain — the
+# round-2 HMC curve was flat 1..16 chains because of exactly this). The
+# recursion below keeps native ops only at `leaf` size and does ALL glue as
+# batched matmuls the MXU parallelizes across the batch. Carrying the factor
+# inverse through the recursion makes the glue trsm-free:
+#   Li = [[L11i, 0], [-L22i L21 L11i, L22i]].
+BATCHED_REC_MIN_N = 256
+BATCHED_REC_LEAF = 256
+
+
+def rec_chol_inv(A, leaf=BATCHED_REC_LEAF):
+    """(L, L^-1) for PSD `A` with arbitrary leading batch dims.
+
+    Native cholesky / triangular_solve only ever see (..., leaf, leaf)
+    problems; every combine step is a batched `dot_general`. Used by the
+    custom-vmap rule of util.linalg.chol_and_inv (HMC vmapped chains,
+    optimize_restarts(parallel=True)) and for explicitly batched inputs.
+    """
+    n = A.shape[-1]
+    if n <= leaf:
+        L = jnp.linalg.cholesky(A)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+        Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return L, Li
+    m = n // 2
+    T = lambda X: jnp.swapaxes(X, -1, -2)  # noqa: E731
+    L11, L11i = rec_chol_inv(A[..., :m, :m], leaf)
+    L21 = A[..., m:, :m] @ T(L11i)
+    L22, L22i = rec_chol_inv(A[..., m:, m:] - L21 @ T(L21), leaf)
+    Li21 = -L22i @ (L21 @ L11i)
+    z = jnp.zeros((*A.shape[:-2], m, n - m), A.dtype)
+    L = jnp.concatenate(
+        [jnp.concatenate([L11, z], -1), jnp.concatenate([L21, L22], -1)], -2)
+    Li = jnp.concatenate(
+        [jnp.concatenate([L11i, z], -1), jnp.concatenate([Li21, L22i], -1)], -2)
+    return L, Li
 
 
 def solve_lower_auto(L, B, trans=False, leaf=_LEAF, min_n=None, min_rhs=512):

@@ -173,6 +173,14 @@ def stationary_gram_matvec_fused(X, V, variance, lengthscale, family=0,
     differentiable surrogate sweep keeps the blockwise ops/gram_matvec.py
     path. Zero-padding rows of X and V is exact: padded V rows are zero, so
     spurious K entries contribute nothing, and padded out rows are sliced.
+
+    Known parity deviation vs the dense Stationary path: for D > 8 the
+    squared distance comes from the expansion |xi|^2 + |xj|^2 - 2 xi.xj
+    clamped at 0, so the i==j diagonal of a square Gram carries an ~eps-level
+    cancellation residual instead of exactly 0 (K_ii = v*(1-O(1e-6)) rather
+    than v); the dense path subtracts the diagonal explicitly and the D <= 8
+    direct-difference path here is exact. The deviation is masked by the
+    noise diagonal in every CG use.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -78,20 +78,113 @@ def jitchol_and_inv(K: jax.Array):
 
 from functools import partial as _partial  # noqa: E402
 
+from jax.custom_batching import custom_vmap as _custom_vmap  # noqa: E402
+from ..ops.blocked_linalg import (  # noqa: E402
+    BATCHED_REC_MIN_N,
+    rec_chol_inv,
+)
+
+
+def _batched_chol_inv(K):
+    """Batched (L, L^-1): blocked matmul recursion above the threshold.
+
+    XLA's native cholesky/triangular_solve serialize over batch elements on
+    TPU (measured: the round-2 HMC chain-scaling curve was FLAT 1..16 chains
+    because each vmapped chain re-ran chol(1000)+trsm sequentially). The
+    recursion keeps native ops at leaf size only; all glue is batched matmul.
+    """
+    if K.shape[-1] > BATCHED_REC_MIN_N:
+        return rec_chol_inv(K)
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
+    return L, jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def _batched_jitchol_inv(K):
+    """Batched jitchol + inverse with a scalar-predicate ladder.
+
+    Vmapping the unbatched `jitchol` would turn its lax.cond into a select
+    that executes BOTH branches — two full batched chols every call. Inside
+    the custom-vmap rule the predicate is a scalar (any element failed), so
+    the clean path costs exactly one factorization; the ladder escalates
+    jitter PER batch element (finer than vmapped jitchol, which would share
+    one global diag-mean scale).
+    """
+    L0, Li0 = _batched_chol_inv(K)
+    ok0 = jnp.all(jnp.isfinite(lax.stop_gradient(L0)))
+
+    def clean():
+        return L0, Li0
+
+    def ladder():
+        A_sg = lax.stop_gradient(K)
+        n = K.shape[-1]
+        eye = jnp.eye(n, dtype=K.dtype)
+        diag_mean_sg = jnp.abs(
+            jnp.mean(jnp.diagonal(A_sg, axis1=-2, axis2=-1), axis=-1))
+        ok_e0 = jnp.all(jnp.isfinite(lax.stop_gradient(L0)), axis=(-2, -1))
+        j0 = diag_mean_sg * jnp.asarray(config.jitter, dtype=K.dtype)
+
+        def cond(s):
+            ok, _, tries = s
+            return jnp.any(~ok) & (tries <= config.max_jitter_tries)
+
+        def body(s):
+            ok, jit_amt, tries = s
+            Lt = jnp.linalg.cholesky(A_sg + jit_amt[..., None, None] * eye)
+            ok_new = jnp.all(jnp.isfinite(Lt), axis=(-2, -1))
+            jit_next = jnp.where(ok | ok_new, jit_amt, jit_amt * 10.0)
+            return ok | ok_new, jit_next, tries + 1
+
+        _, jit_used, _ = lax.while_loop(cond, body, (ok_e0, j0, jnp.array(0)))
+        jit_used = jnp.where(ok_e0, jnp.zeros_like(jit_used), jit_used)
+        # gradient-consistent jitter (see jitchol): stop-gradient *level*,
+        # differentiable scale with the matrix magnitude
+        diag_mean = jnp.abs(
+            jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1))
+        mult = jit_used / jnp.maximum(diag_mean_sg, 1e-300)
+        Kj = K + (mult * diag_mean)[..., None, None] * eye
+        return _batched_chol_inv(Kj)
+
+    return lax.cond(ok0, clean, ladder)
+
+
+@_custom_vmap
+def _chol_inv_plain(K):
+    L = cholesky_auto(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    return L, solve_lower_auto(L, eye)
+
+
+@_chol_inv_plain.def_vmap
+def _chol_inv_plain_vmap(axis_size, in_batched, K):
+    if not in_batched[0]:
+        K = jnp.broadcast_to(K, (axis_size,) + K.shape)
+    return _batched_chol_inv(K), (True, True)
+
+
+@_custom_vmap
+def _chol_inv_ladder(K):
+    L = jitchol(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    return L, solve_lower_auto(L, eye)
+
+
+@_chol_inv_ladder.def_vmap
+def _chol_inv_ladder_vmap(axis_size, in_batched, K):
+    if not in_batched[0]:
+        K = jnp.broadcast_to(K, (axis_size,) + K.shape)
+    return _batched_jitchol_inv(K), (True, True)
+
 
 @_partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _chol_and_inv(K, use_ladder):
-    if use_ladder:
-        L = jitchol(K)
-    else:
-        L = cholesky_auto(K) if K.ndim == 2 else jnp.linalg.cholesky(K)
-    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
     if K.ndim == 2:
-        # blocked recursive trsm above the crossover (ops/blocked_linalg.py)
-        Li = solve_lower_auto(L, eye)
-    else:
-        Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return L, Li
+        # custom-vmap switch: under vmap (HMC chains, parallel restarts) the
+        # batched blocked recursion replaces the serialized native ops
+        return (_chol_inv_ladder if use_ladder else _chol_inv_plain)(K)
+    # explicitly batched call
+    return (_batched_jitchol_inv if use_ladder else _batched_chol_inv)(K)
 
 
 def _chol_and_inv_fwd(K, use_ladder):

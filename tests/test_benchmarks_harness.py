@@ -5,9 +5,9 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from regression import RMSE, SparseGP_RBF, Task, run  # noqa: E402
+from benchmarks.regression import RMSE, SparseGP_RBF, Task, run  # noqa: E402
 
 
 class TinyTask(Task):

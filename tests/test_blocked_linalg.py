@@ -90,3 +90,78 @@ def test_jitchol_large_path_still_recovers():
     L = jitchol(K)
     assert bool(jnp.all(jnp.isfinite(L)))
     np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K), atol=1e-3)
+
+
+# --- batched blocked chol+inv (custom-vmap switch; VERDICT r2 item 1) -------
+
+def _spd_batch(B, n, rank=None, seed=7):
+    r = np.random.default_rng(seed)
+    G = r.standard_normal((B, n, rank or n))
+    return jnp.asarray(G @ np.swapaxes(G, 1, 2) + n * np.eye(n))
+
+
+def test_rec_chol_inv_batched_matches_native():
+    from gpy_tpu.ops.blocked_linalg import rec_chol_inv
+    K = _spd_batch(3, 300)
+    L, Li = rec_chol_inv(K, leaf=128)
+    Lr = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lr), atol=1e-8)
+    eye = np.eye(300)
+    for b in range(3):
+        np.testing.assert_allclose(
+            np.asarray(Li[b] @ L[b]), eye, atol=1e-8)
+
+
+def test_vmapped_chol_and_inv_matches_loop():
+    """vmap(chol_and_inv) takes the batched-rule path; values and gradients
+    must match the per-element unbatched call."""
+    from gpy_tpu.util.linalg import chol_and_inv, jitchol_and_inv
+    K = _spd_batch(4, 300)
+
+    for fn in (chol_and_inv, jitchol_and_inv):
+        Lv, Liv = jax.vmap(fn)(K)
+        for b in range(4):
+            L1, Li1 = fn(K[b])
+            np.testing.assert_allclose(np.asarray(Lv[b]), np.asarray(L1),
+                                       atol=1e-8)
+            np.testing.assert_allclose(np.asarray(Liv[b]), np.asarray(Li1),
+                                       atol=1e-8)
+
+        def scalar(Kb):
+            L, Li = fn(Kb)
+            return jnp.sum(L * jnp.cos(jnp.arange(300.0))) + jnp.sum(Li ** 2) * 1e-3
+
+        gv = jax.vmap(jax.grad(scalar))(K)
+        for b in range(4):
+            g1 = jax.grad(scalar)(K[b])
+            np.testing.assert_allclose(np.asarray(gv[b]), np.asarray(g1),
+                                       rtol=1e-6, atol=1e-8)
+
+
+def test_vmapped_jitchol_inv_ladder_rescues_bad_element():
+    """One rank-deficient element in the batch: the scalar-predicate ladder
+    must rescue it while leaving clean elements bit-identical to the
+    no-ladder result."""
+    from gpy_tpu.util.linalg import jitchol_and_inv
+    r = np.random.default_rng(3)
+    n = 300
+    Kgood = np.asarray(_spd_batch(1, n))[0]
+    U = r.standard_normal((n, 3))
+    Kbad = U @ U.T  # rank-3
+    K = jnp.asarray(np.stack([Kgood, Kbad]))
+    L, Li = jax.vmap(jitchol_and_inv)(K)
+    assert bool(jnp.all(jnp.isfinite(L))) and bool(jnp.all(jnp.isfinite(Li)))
+    np.testing.assert_allclose(np.asarray(L[0] @ L[0].T), Kgood, atol=1e-6)
+    # the rescued element reproduces K + jitter*I at ladder tolerance
+    np.testing.assert_allclose(np.asarray(L[1] @ L[1].T), Kbad, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(Li[1] @ L[1]), np.eye(n), atol=1e-6)
+
+
+def test_explicit_batched_chol_and_inv_routes_blocked():
+    """ndim==3 direct calls (no vmap) also take the batched recursion."""
+    from gpy_tpu.util.linalg import chol_and_inv
+    K = _spd_batch(2, 300, seed=11)
+    L, Li = chol_and_inv(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(K)),
+                               atol=1e-8)
