@@ -1,0 +1,264 @@
+"""Weak-scaling measurement harness for the SPMD programs (BASELINE #4).
+
+Executes, mechanically, the multi-host scaling protocol documented in
+gpy_tpu/parallel/__init__.py:17-34 on whatever mesh is attached — including
+the virtual 8-device CPU mesh (xla_force_host_platform_device_count), so
+that attaching real multi-chip hardware is a config change, not new code:
+
+  * weak-scaling sweep: per-chip work held fixed (local batch rows for the
+    SVGP step; Gram rows per chip for the iterative exact GP), step time
+    measured at 1/2/4/.../k devices; efficiency_k = t_1 / t_k (ideal 1.0).
+  * comm-volume accounting: the per-step collective payload is read off the
+    compiled program's HLO (all-reduce/all-gather/reduce-scatter operand
+    shapes) and asserted against the analytic formula — for the SVGP step
+    one gradient all-reduce of |raw| floats (+ the scalar ELBO psum), the
+    SPMD image of GPy's MPI Allreduce of grad vectors
+    (reference: GPy/inference/.../var_dtc_parallel.py:337-424).
+
+Run standalone to (re)generate MULTIHOST_SCALING.json:
+    python benchmarks/multihost_scaling.py
+On a CPU host the absolute step times share 2 physical cores across the
+virtual devices, so `efficiency` reflects core contention, not ICI — the
+artifact labels this via environment.backend.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def ensure_cpu_mesh(n: int = 8) -> None:
+    """Force a CPU backend with n virtual devices. Must run before the jax
+    backend initializes (the axon TPU plugin ignores JAX_PLATFORMS; use
+    jax.config as tests/conftest.py does)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s64": 8, "u64": 8, "pred": 1, "s8": 1, "u8": 1}
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Per-collective payload bytes summed over the HLO module.
+
+    Counts each collective instruction's OUTPUT shape (for all-reduce this
+    equals the reduced payload a ring moves ~2x over the wire; the factor is
+    topology-dependent, so we report the logical payload)."""
+    out = {k: 0 for k in _COLLECTIVES}
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        for coll in _COLLECTIVES:
+            # match " = <shape> all-reduce(" instruction forms, incl. tuples
+            m = re.search(r"=\s*(.+?)\s+" + coll + r"(-start|-done)?\(", stripped)
+            if m:
+                for dt, dims in _SHAPE_RE.findall(m.group(1)):
+                    if dt not in _DTYPE_BYTES:
+                        continue
+                    n = 1
+                    for d in dims.split(","):
+                        if d:
+                            n *= int(d)
+                    out[coll] += n * _DTYPE_BYTES[dt]
+                break
+    out["total"] = sum(out[k] for k in _COLLECTIVES)
+    return out
+
+
+def _tree_bytes(tree) -> int:
+    import jax
+
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree))
+
+
+def svgp_weak_scaling(chips=(1, 2, 4, 8), rows_per_chip=2048,
+                      batch_per_chip=512, M=64, D=4, steps=8, seed=0):
+    """Weak-scaling sweep of sharded_svgp_train_step. Returns result dict."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gpy_tpu.core.svgp import SVGP
+    from gpy_tpu.likelihoods import Gaussian
+    import gpy_tpu.kern as gk
+    from gpy_tpu.parallel import sharded_svgp_train_step
+
+    rng = np.random.default_rng(seed)
+    devs = jax.devices()
+    results = []
+    comm = None
+    comm_formula = None
+    for k in chips:
+        if k > len(devs):
+            break
+        N = rows_per_chip * k
+        B = batch_per_chip * k
+        X = rng.random((N, D)).astype(np.float32) * 4.0
+        Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))).astype(np.float32)
+        Z = X[rng.permutation(N)[:M]].copy()
+        model = SVGP(X, Y, Z, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
+        mesh = Mesh(np.asarray(devs[:k]), ("data",))
+        step, (raw0, st0), shard = sharded_svgp_train_step(
+            model, mesh, step_size=1e-2, whiten=True)
+        Xs = shard(jnp.asarray(X[:B]))
+        Ys = shard(jnp.asarray(Y[:B]))
+        ws = shard(jnp.full((B,), N / B, jnp.float32))
+        # comm accounting on the largest mesh (payload is k-independent)
+        lowered = jax.jit(step).lower(raw0, st0, Xs, Ys, ws)
+        cb = collective_bytes(lowered.compile().as_text())
+        comm = cb
+        comm_formula = _tree_bytes(raw0) + np.dtype(np.float32).itemsize
+        raw, st = raw0, st0
+        # warm (compile) then timed loop, syncing per step: enqueueing many
+        # in-flight shard_map programs starves the XLA CPU rendezvous
+        raw, st, e = step(raw, st, Xs, Ys, ws)
+        jax.block_until_ready(e)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            raw, st, e = step(raw, st, Xs, Ys, ws)
+            jax.block_until_ready(e)
+        dt = (time.perf_counter() - t0) / steps
+        results.append({"chips": k, "step_ms": round(dt * 1e3, 3),
+                        "rows_per_s": round(B / dt, 1)})
+    t1 = results[0]["step_ms"]
+    for r in results:
+        r["efficiency"] = round(t1 / r["step_ms"], 3)
+    return {"program": "sharded_svgp_train_step",
+            "rows_per_chip": rows_per_chip, "batch_per_chip": batch_per_chip,
+            "M": M, "results": results,
+            "comm_bytes_per_step": comm,
+            "comm_formula_bytes": int(comm_formula),
+            "comm_formula": ("gradient all-reduce of |raw| floats; the "
+                             "measured payload additionally carries the "
+                             "psum'd cotangents of replicated O(M^2) "
+                             "intermediates (Kmm-path), and is independent "
+                             "of batch size and N")}
+
+
+def svgp_step_comm_bytes(n_chips=4, batch_per_chip=64, M=16, D=2, N=512,
+                         seed=0):
+    """Collective payload of one sharded SVGP step at the given shapes
+    (compile-time HLO accounting only — nothing executes)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gpy_tpu.core.svgp import SVGP
+    from gpy_tpu.likelihoods import Gaussian
+    import gpy_tpu.kern as gk
+    from gpy_tpu.parallel import sharded_svgp_train_step
+
+    rng = np.random.default_rng(seed)
+    B = batch_per_chip * n_chips
+    X = rng.random((N, D)).astype(np.float32) * 4.0
+    Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))).astype(np.float32)
+    model = SVGP(X, Y, X[:M].copy(), gk.RBF(D, ARD=True), Gaussian(variance=0.1))
+    mesh = Mesh(np.asarray(jax.devices()[:n_chips]), ("data",))
+    step, (raw0, st0), shard = sharded_svgp_train_step(model, mesh, whiten=True)
+    Xs = shard(jnp.asarray(X[:B]))
+    Ys = shard(jnp.asarray(Y[:B]))
+    ws = shard(jnp.full((B,), N / B, jnp.float32))
+    txt = jax.jit(step).lower(raw0, st0, Xs, Ys, ws).compile().as_text()
+    return collective_bytes(txt), _tree_bytes(raw0)
+
+
+def iterative_weak_scaling(chips=(1, 2, 4, 8), rows_per_chip=1024, D=3,
+                           max_cg=12, n_probes=4, block=512, seed=0):
+    """Weak-scaling sweep of sharded_iterative_nlml_grad (within-matrix
+    sharding: per-chip work O((N/k) * N) grows with k in weak scaling of
+    rows — the documented protocol expects the efficiency knee here)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gpy_tpu.models import GPRegression
+    from gpy_tpu.parallel import sharded_iterative_nlml_grad
+
+    rng = np.random.default_rng(seed)
+    devs = jax.devices()
+    results = []
+    comm = None
+    for k in chips:
+        if k > len(devs):
+            break
+        N = rows_per_chip * k
+        X = rng.random((N, D)).astype(np.float32) * 4.0
+        Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))).astype(np.float32)
+        m = GPRegression(X, Y, noise_var=0.1)
+        mesh = Mesh(np.asarray(devs[:k]), ("data",))
+        og = sharded_iterative_nlml_grad(mesh, m, max_cg=max_cg,
+                                         n_probes=n_probes, block=block)
+        flat = m.get_flat_raw()
+        v, g = og(flat)
+        jax.block_until_ready(g)
+        best = float("inf")
+        for i in range(3):
+            fi = flat + 1e-4 * (i + 1)
+            t0 = time.perf_counter()
+            v, g = og(fi)
+            jax.block_until_ready(g)
+            best = min(best, time.perf_counter() - t0)
+        if k > 1:  # collectives only exist on real (>1 device) meshes
+            comm = collective_bytes(og.lower(flat).compile().as_text())
+        results.append({"chips": k, "nlml_grad_ms": round(best * 1e3, 2),
+                        "gram_rows": N})
+    t1 = results[0]["nlml_grad_ms"]
+    for r in results:
+        # per-chip work grows linearly with k here (O((N/k)*N) with N=k*n0),
+        # so ideal weak-scaling time is t1 * k
+        r["efficiency"] = round(t1 * r["chips"] / r["nlml_grad_ms"], 3)
+    return {"program": "sharded_iterative_nlml_grad",
+            "rows_per_chip": rows_per_chip, "max_cg": max_cg,
+            "results": results, "comm_bytes_per_step": comm,
+            "comm_note": ("static HLO payload (loop bodies counted once): "
+                          "all-gather/all-reduce of (N, D+n_probes) vectors, "
+                          "executed once per CG iteration — multiply by "
+                          "max_cg for wire traffic; the O(N^2) Gram never "
+                          "moves")}
+
+
+def run_all(chips=(1, 2, 4, 8), out_path="MULTIHOST_SCALING.json", **kw):
+    import jax
+
+    art = {
+        "protocol": "weak-scaling sweep (gpy_tpu/parallel/__init__.py:17-34)",
+        "environment": {
+            "backend": jax.default_backend(),
+            "devices": len(jax.devices()),
+            "virtual_mesh": jax.default_backend() == "cpu",
+            "note": ("cpu virtual devices share physical cores; efficiency "
+                     "reflects host core contention, not ICI, on this rig"
+                     if jax.default_backend() == "cpu" else "real devices"),
+        },
+        "svgp": svgp_weak_scaling(chips=chips),
+        "iterative": iterative_weak_scaling(chips=chips),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(art, f, indent=1)
+    return art
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ensure_cpu_mesh(8)
+    art = run_all(out_path=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "MULTIHOST_SCALING.json"))
+    print(json.dumps(art, indent=1))

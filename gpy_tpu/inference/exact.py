@@ -10,7 +10,10 @@ that formula (the cholesky VJP computes it without ever materializing K^-1).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..util.linalg import dpotrs, jitchol, jitchol_and_inv, logdet_from_chol
@@ -19,6 +22,85 @@ from .posterior import Posterior
 __all__ = ["ExactGaussianInference", "ExactStudentTInference"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
+
+
+def _symz(x):
+    from jax.custom_derivatives import SymbolicZero
+
+    return isinstance(x, SymbolicZero)
+
+
+@jax.custom_vjp
+def _exact_inv_terms(Ky, YY):
+    """(quad, logdet, L, alpha) for the explicit-inverse exact-GP path.
+
+    Custom VJP at the NLML level: the reverse pass applies GPy's closed form
+    dL/dK = 0.5 (alpha alpha' - c K^-1) (exact_gaussian_inference.py:64-66)
+    directly — ONE matmul (K^-1 = Li' Li) instead of the five the generic
+    chol_and_inv pullback chains. This is the path every vmapped HMC
+    leapfrog gradient takes (N <= 1024), so the backward matmul count is
+    the per-chain cost. With symbolic-zero cotangents the L/alpha branches
+    compile away unless something actually differentiates through the
+    posterior byproducts.
+    """
+    L, Li = jitchol_and_inv(Ky)
+    LiT = jnp.swapaxes(Li, -1, -2)
+    t = Li @ YY
+    alpha = LiT @ t
+    quad = jnp.sum(t * t)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+    return quad, logdet, L, alpha
+
+
+def _exact_inv_terms_fwd(Ky_p, YY_p):
+    Ky, YY = Ky_p.value, YY_p.value
+    L, Li = jitchol_and_inv(Ky)
+    LiT = jnp.swapaxes(Li, -1, -2)
+    t = Li @ YY
+    alpha = LiT @ t
+    quad = jnp.sum(t * t)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+    # Li is saved rather than recomputed: a solve_triangular in the bwd
+    # would re-serialize under vmap (the exact failure mode this VJP exists
+    # to avoid)
+    return (quad, logdet, L, alpha), (L, Li, alpha)
+
+
+def _exact_inv_terms_bwd(res, cts):
+    L, Li, alpha = res
+    g_quad, g_logdet, g_L, g_alpha = cts
+    T = lambda X: jnp.swapaxes(X, -1, -2)  # noqa: E731
+    LiT = T(Li)
+    Ky_bar = None
+    YY_bar = None
+
+    def acc(a, b):
+        return b if a is None else a + b
+    if not _symz(g_quad):
+        Ky_bar = acc(Ky_bar, -g_quad * (alpha @ T(alpha)))
+        YY_bar = acc(YY_bar, 2.0 * g_quad * alpha)
+    if not _symz(g_logdet):
+        Ky_bar = acc(Ky_bar, g_logdet * (LiT @ Li))
+    if not _symz(g_alpha):
+        w = LiT @ (Li @ g_alpha)  # K^-1 g_alpha
+        Ky_bar = acc(Ky_bar, -(w @ T(alpha)))
+        YY_bar = acc(YY_bar, w)
+    if not _symz(g_L):
+        # cholesky pullback in matmul form (see util/linalg._chol_and_inv_bwd)
+        P = jnp.tril(T(L) @ g_L)
+        P = P - 0.5 * P * jnp.eye(L.shape[-1], dtype=L.dtype)
+        Ky_bar = acc(Ky_bar, LiT @ P @ Li)
+    if Ky_bar is None:
+        Ky_bar = jnp.zeros_like(L)
+    if YY_bar is None:
+        YY_bar = jnp.zeros_like(alpha)
+    # canonical symmetric cotangent (Ky is built symmetric)
+    Ky_bar = 0.5 * (Ky_bar + T(Ky_bar))
+    return Ky_bar, YY_bar
+
+
+_exact_inv_terms.defvjp(_exact_inv_terms_fwd, _exact_inv_terms_bwd,
+                        symbolic_zeros=True)
 
 # Below this N the NLML+grad is latency-bound on sequential triangular ops
 # and the explicit-inverse formulation (jitchol_and_inv: matmul-only VJP)
@@ -57,15 +139,12 @@ class ExactGaussianInference(LatentFunctionInference):
         noise = likelihood.noise_diagonal(N, Y_metadata) + 1e-8
         Ky = K + jnp.diag(noise)
         if N <= EXPLICIT_INV_MAX_N:
-            L, Li = jitchol_and_inv(Ky)
-            t = Li @ YY  # whitened targets: quad form = |t|^2, alpha = Li' t
-            alpha = jnp.swapaxes(Li, -1, -2) @ t
-            quad = jnp.sum(t * t)
+            quad, logdet, L, alpha = _exact_inv_terms(Ky, YY)
         else:
             L = jitchol(Ky)
             alpha = dpotrs(L, YY)
             quad = jnp.sum(alpha * YY)
-        logdet = logdet_from_chol(L)
+            logdet = logdet_from_chol(L)
         log_marginal = -0.5 * (
             D * N * LOG_2_PI + D * logdet + quad
         )

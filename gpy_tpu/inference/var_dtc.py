@@ -55,12 +55,15 @@ def _sparse_terms(kern, X, Z, W, Y, qX=None):
         from ..kern.psi_comp import PSICOMP_RBF
 
         if N >= 512 and isinstance(getattr(kern, "_psicomp", None), PSICOMP_RBF):
-            # streamed contraction — never materializes (N, M, M)
+            # streamed contraction — never materializes (N, M, M); inputs
+            # sliced to the kernel's active_dims like the closed forms
+            from ..kern.psi_comp import slice_psi_inputs
             from ..ops.pallas_psi import rbf_psi2_weighted
 
+            Zs, qXs = slice_psi_inputs(kern, Z, qX)
             Psi2W = rbf_psi2_weighted(
-                kern.variance, kern.lengthscale, Z,
-                jnp.asarray(qX.mean), jnp.asarray(qX.variance), W,
+                kern.variance, kern.lengthscale, Zs,
+                jnp.asarray(qXs.mean), jnp.asarray(qXs.variance), W,
             )
         else:
             psi2n = kern.psi2n(Z, qX)  # (N, M, M)

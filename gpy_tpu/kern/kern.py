@@ -142,23 +142,34 @@ class Add(CombinationKernel):
         return sum(p.psi1(Z, qX) for p in self.parts)
 
     def psi2n(self, Z, qX):
-        """Includes the cross terms psi1_i psi1_j (GPy: add.py:207+).
+        """Includes the cross terms <K_i(x,Z_m) K_j(x,Z_m')>.
 
-        For White/Bias parts GPy uses exact cross-term corrections; the
-        generic cross term <K_i(x,Z) K_j(x,Z)> factorizes only when parts act
-        on independent dimensions or q(X) factorizes per-dim (it does —
-        diagonal Gaussian), in which case <psi1_i psi1_j> = psi1_i ⊗ psi1_j
-        holds exactly for parts on disjoint active_dims; for overlapping dims
-        it is the standard GPy approximation-free formula only for
-        Bias/White/Linear+RBF combos. We use the product-of-psi1 cross term,
-        matching GPy's implementation for the supported combinations.
+        Reference (GPy add.py:180-205) supports only White (zero cross),
+        Bias, and RBF/Linear pairs on DISJOINT dims (product of psi1s —
+        exact because diagonal q(X) factorizes per dim) and *raises* for
+        anything else. Here `cross_psi2n_exact` additionally computes the
+        exact closed-form cross for RBF x RBF, RBF x Linear and
+        Linear x Linear on OVERLAPPING active_dims; only pairs outside that
+        family fall back to the product-of-psi1 approximation, with a
+        warning (the reference would raise NotImplementedError).
         """
-        terms = [p.psi2n(Z, qX) for p in self.parts]
-        total = sum(terms)
-        psi1s = [p.psi1(Z, qX) for p in self.parts]
+        import warnings
+
+        from .psi_comp import cross_psi2n_exact
+
+        total = sum(p.psi2n(Z, qX) for p in self.parts)
         for i in range(len(self.parts)):
             for j in range(i + 1, len(self.parts)):
-                cross = psi1s[i][:, :, None] * psi1s[j][:, None, :]
+                p1, p2 = self.parts[i], self.parts[j]
+                cross = cross_psi2n_exact(p1, p2, Z, qX)
+                if cross is None:
+                    warnings.warn(
+                        f"Add.psi2: no exact cross term for "
+                        f"{type(p1).__name__} x {type(p2).__name__} on "
+                        f"overlapping active_dims; using the product-of-psi1 "
+                        f"approximation (biased bound).", stacklevel=2)
+                    cross = (p1.psi1(Z, qX)[:, :, None]
+                             * p2.psi1(Z, qX)[:, None, :])
                 total = total + cross + jnp.swapaxes(cross, 1, 2)
         return total
 

@@ -55,12 +55,18 @@ class Linear(Kern):
         return self._psicomp
 
     def psi0(self, Z, qX):
+        from .psi_comp import slice_psi_inputs
+        Z, qX = slice_psi_inputs(self, Z, qX)
         return self._pc(qX).psi0(self, Z, qX)
 
     def psi1(self, Z, qX):
+        from .psi_comp import slice_psi_inputs
+        Z, qX = slice_psi_inputs(self, Z, qX)
         return self._pc(qX).psi1(self, Z, qX)
 
     def psi2n(self, Z, qX):
+        from .psi_comp import slice_psi_inputs
+        Z, qX = slice_psi_inputs(self, Z, qX)
         return self._pc(qX).psi2n(self, Z, qX)
 
     def input_sensitivity(self, summarize=True):

@@ -21,7 +21,158 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["PSICOMP_RBF", "PSICOMP_SSRBF", "PSICOMP_Linear", "psi0_quadrature", "psi1_quadrature", "psi2n_quadrature"]
+__all__ = ["PSICOMP_RBF", "PSICOMP_SSRBF", "PSICOMP_Linear", "psi0_quadrature",
+           "psi1_quadrature", "psi2n_quadrature", "slice_psi_inputs",
+           "cross_psi2n_exact"]
+
+
+class _QXSlice:
+    """Column view of a variational posterior restricted to active_dims."""
+
+    def __init__(self, qX, idx):
+        self.mean = jnp.asarray(qX.mean)[:, idx]
+        self.variance = jnp.asarray(qX.variance)[:, idx]
+        if hasattr(qX, "gamma"):
+            self.gamma = jnp.asarray(qX.gamma)[:, idx]
+
+
+def slice_psi_inputs(kern, Z, qX):
+    """(Z, qX) restricted to kern.active_dims.
+
+    GPy applies this in the slicing metaclass
+    (kernel_slice_operations.py:19-57) so closed-form psi statistics of a
+    part inside Add/Prod see only their own columns; the closed forms here
+    (PSICOMP_*) index dimensions positionally, so parts with a subset
+    active_dims must be sliced before dispatch.
+    """
+    if Z.shape[-1] == kern.input_dim and np.array_equal(
+            kern.active_dims, np.arange(kern.input_dim)):
+        return Z, qX
+    idx = kern.active_dims
+    return Z[..., idx], _QXSlice(qX, idx)
+
+
+# ---------------------------------------------------------------------------
+# Exact Add-kernel psi2 cross terms  <k_i(x, Z_m) k_j(x, Z_m')>_q(x)
+# (VERDICT r2 item 6). Reference: GPy/kern/src/add.py:180-205 supports only
+# White (zero), Bias (v * (psi1 + psi1^T)) and RBF/Linear pairs on DISJOINT
+# dims (product of psi1s) and raises otherwise. Here the RBF x RBF,
+# RBF x Linear and Linear x Linear crosses are exact closed forms for
+# ARBITRARY (including overlapping) active_dims under the diagonal-Gaussian
+# q(X): each is a per-dimension Gaussian integral, assembled as matmul-shaped
+# contractions (no N x M x M x Q intermediate).
+# ---------------------------------------------------------------------------
+
+def _rbf_beta_full(p, Q, dtype):
+    """Per-dim precision 1/l^2 scattered onto the full Q dims (0 inactive)."""
+    l2 = jnp.broadcast_to(jnp.asarray(p.lengthscale, dtype) ** 2,
+                          (p.input_dim,))
+    return jnp.zeros(Q, dtype).at[p.active_dims].set(1.0 / l2)
+
+
+def _lin_var_full(p, Q, dtype):
+    v = jnp.broadcast_to(jnp.asarray(p.variances, dtype), (p.input_dim,))
+    return jnp.zeros(Q, dtype).at[p.active_dims].set(v)
+
+
+def _cross_rbf_rbf(p1, p2, Z, qX):
+    """<k1(x,Z_m) k2(x,Z_m')> for two RBFs, any active_dims overlap.
+
+    Per dim: combining exp(-b1/2 (x-z)^2) exp(-b2/2 (x-z')^2) gives a pair
+    factor exp(-b1 b2/(2g) (z-z')^2), g = b1+b2, centred at
+    c = (b1 z + b2 z')/g; integrating against N(mu, S) contributes
+    (1+gS)^(-1/2) exp(-g/(2(1+gS)) (mu-c)^2). b=0 on inactive dims makes the
+    same expression reduce to the single-kernel psi1 factor (or 1).
+    """
+    mu, S = jnp.asarray(qX.mean), jnp.asarray(qX.variance)
+    Q = mu.shape[1]
+    b1 = _rbf_beta_full(p1, Q, mu.dtype)
+    b2 = _rbf_beta_full(p2, Q, mu.dtype)
+    v1, v2 = jnp.asarray(p1.variance), jnp.asarray(p2.variance)
+    g = b1 + b2
+    gs = jnp.where(g > 0, g, 1.0)
+    c = (b1 * Z[:, None, :] + b2 * Z[None, :, :]) / gs          # (M,M,Q)
+    pairsum = -0.5 * jnp.sum(
+        (b1 * b2 / gs) * (Z[:, None, :] - Z[None, :, :]) ** 2, axis=-1)  # (M,M)
+    w = g[None, :] / (1.0 + g[None, :] * S)                      # (N,Q)
+    lognorm = -0.5 * jnp.sum(jnp.log1p(g[None, :] * S), axis=-1)  # (N,)
+    # -(1/2) sum_d w_nd (mu_nd - c_mm'd)^2, expanded so the (N,M,M) pieces
+    # are matmul contractions over Q
+    t0 = -0.5 * jnp.sum(w * mu * mu, axis=-1)                    # (N,)
+    t1 = jnp.einsum("nq,mkq->nmk", w * mu, c)                    # (N,M,M)
+    t2 = -0.5 * jnp.einsum("nq,mkq->nmk", w, c * c)              # (N,M,M)
+    expo = (lognorm + t0)[:, None, None] + pairsum[None, :, :] + t1 + t2
+    return v1 * v2 * jnp.exp(expo)
+
+
+def _cross_rbf_lin(pr, pl, Z, qX):
+    """<k_rbf(x,Z_m) k_lin(x,Z_m')> (N, M_rbf-axis, M_lin-axis).
+
+    k_lin is linear in x, so the cross is psi1_rbf[n,m] times the tilted
+    mean m~ = (mu + S b z_m)/(1 + S b) contracted with the linear form.
+    """
+    mu, S = jnp.asarray(qX.mean), jnp.asarray(qX.variance)
+    Q = mu.shape[1]
+    b = _rbf_beta_full(pr, Q, mu.dtype)
+    a = _lin_var_full(pl, Q, mu.dtype)
+    psi1r = pr.psi1(Z, qX)                                       # (N,M)
+    denom = 1.0 + b[None, :] * S                                 # (N,Q)
+    mt = (mu[:, None, :] + (b * Z)[None, :, :] * S[:, None, :]) / denom[:, None, :]
+    T = jnp.einsum("nmq,kq->nmk", mt, a * Z)                     # (N,M,M)
+    return psi1r[:, :, None] * T
+
+
+def _cross_lin_lin(p1, p2, Z, qX):
+    """<k1 k2> for two Linear kernels: psi1 outer product + per-dim
+    variance term sum_d a_d b_d S_nd Z_md Z_m'd (E[x_d x_e] cross-moments)."""
+    mu, S = jnp.asarray(qX.mean), jnp.asarray(qX.variance)
+    Q = mu.shape[1]
+    a = _lin_var_full(p1, Q, mu.dtype)
+    b = _lin_var_full(p2, Q, mu.dtype)
+    psi11 = p1.psi1(Z, qX)
+    psi12 = p2.psi1(Z, qX)
+    covterm = jnp.einsum("nq,mq,kq->nmk", S * a * b, Z, Z)
+    return psi11[:, :, None] * psi12[:, None, :] + covterm
+
+
+def cross_psi2n_exact(p1, p2, Z, qX):
+    """Exact <k1(x,Z_m) k2(x,Z_m')> (N, M, M), or None if no closed form.
+
+    Covers: White x any (zero), Bias x any, any pair on disjoint active_dims
+    (q(X) factorizes per dim, so the product of psi1s is exact — also for
+    spike-and-slab posteriors), RBF x RBF / RBF x Linear / Linear x Linear on
+    overlapping dims (Gaussian q only). The caller falls back to the
+    product-of-psi1 approximation with a warning when this returns None.
+    """
+    from .static import Bias, White
+    from .stationary import RBF
+    from .linear import Linear
+
+    N, M = jnp.asarray(qX.mean).shape[0], Z.shape[0]
+    if isinstance(p1, White) or isinstance(p2, White):
+        return jnp.zeros((N, M, M))
+    if isinstance(p1, Bias):
+        return jnp.asarray(p1.variance) * jnp.broadcast_to(
+            p2.psi1(Z, qX)[:, None, :], (N, M, M))
+    if isinstance(p2, Bias):
+        return jnp.asarray(p2.variance) * jnp.broadcast_to(
+            p1.psi1(Z, qX)[:, :, None], (N, M, M))
+    if np.intersect1d(p1._all_dims, p2._all_dims).size == 0:
+        # disjoint dims: exact under any per-dim-factorized posterior
+        return p1.psi1(Z, qX)[:, :, None] * p2.psi1(Z, qX)[:, None, :]
+    if hasattr(qX, "gamma"):
+        return None  # overlapping dims + spike-and-slab: no closed form
+    lin1 = type(p1) is Linear
+    lin2 = type(p2) is Linear
+    if isinstance(p1, RBF) and isinstance(p2, RBF):
+        return _cross_rbf_rbf(p1, p2, Z, qX)
+    if isinstance(p1, RBF) and lin2:
+        return _cross_rbf_lin(p1, p2, Z, qX)
+    if lin1 and isinstance(p2, RBF):
+        return jnp.swapaxes(_cross_rbf_lin(p2, p1, Z, qX), 1, 2)
+    if lin1 and lin2:
+        return _cross_lin_lin(p1, p2, Z, qX)
+    return None
 
 
 class PSICOMP_RBF:

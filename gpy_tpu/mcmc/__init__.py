@@ -99,27 +99,19 @@ class HMC:
 
         return kernel
 
-    def sample(self, num_samples: int = 1000, hmc_iters=None, seed: int = 0,
-               num_chains: int = 1, adapt_steps: int = 0, target_accept: float = 0.8,
-               mesh=None):
-        """Draw samples. GPy: hmc.py:30-59 (num_samples loop).
-
-        adapt_steps > 0 enables dual-averaging step-size adaptation (warmup
-        draws are discarded). num_chains > 1 vmaps chains; with `mesh`
-        given, chains are sharded across devices and the adaptation
-        statistic is pmean-averaged (replaces nothing in GPy — new).
-        """
-        num_samples = hmc_iters or num_samples
-        logp = self._logp
-        kernel = self._hmc_kernel(logp)
-        x0 = self.model.get_flat_raw()
-        dt = x0.dtype
-
-        mu = jnp.log(10.0 * self.stepsize)
+    def _build_chain(self, num_samples: int, adapt_steps: int,
+                     target_accept: float):
+        """One chain as a pure function of (key, x_init, eps0) — the seed and
+        step size are ARGUMENTS, never trace-time constants. (Round-2's
+        bench embedded PRNGKey(seed) as a compile-time constant, so every
+        fresh-seed sample() call recompiled the entire sampler — the 'flat'
+        chain-scaling curve was compile time, not step time.)"""
+        kernel = self._hmc_kernel(self._logp)
         gamma, t0, kappa = 0.05, 10.0, 0.75
 
-        def chain(key, x_init):
-            # warmup with dual averaging
+        def chain(key, x_init, eps0):
+            mu = jnp.log(10.0 * eps0)
+
             def warm_step(carry, inp):
                 x, log_eps_bar, Hbar, i = carry
                 k = inp
@@ -134,15 +126,17 @@ class HMC:
 
             if adapt_steps > 0:
                 keys = jax.random.split(key, adapt_steps + 1)
+                dt = x_init.dtype
                 (x_init, log_eps_bar, _, _), _ = lax.scan(
                     warm_step,
-                    (x_init, jnp.log(jnp.asarray(self.stepsize, dtype=dt)), jnp.asarray(0.0, dtype=dt), jnp.asarray(0.0, dtype=dt)),
+                    (x_init, jnp.log(eps0), jnp.asarray(0.0, dtype=dt),
+                     jnp.asarray(0.0, dtype=dt)),
                     keys[:-1],
                 )
                 eps = jnp.exp(log_eps_bar)
                 key = keys[-1]
             else:
-                eps = jnp.asarray(self.stepsize, dtype=dt)
+                eps = eps0
 
             def step(x, k):
                 x, a = kernel(x, k, eps)
@@ -152,9 +146,39 @@ class HMC:
             _, (xs, accepts) = lax.scan(step, x_init, keys)
             return xs, accepts
 
+        return chain
+
+    def sample(self, num_samples: int = 1000, hmc_iters=None, seed: int = 0,
+               num_chains: int = 1, adapt_steps: int = 0, target_accept: float = 0.8,
+               mesh=None):
+        """Draw samples. GPy: hmc.py:30-59 (num_samples loop).
+
+        adapt_steps > 0 enables dual-averaging step-size adaptation (warmup
+        draws are discarded). num_chains > 1 vmaps chains (the batched
+        blocked chol+inv path — util/linalg custom-vmap rule — keeps the
+        per-chain factorizations off XLA's serialized native ops); with
+        `mesh` given, chains are sharded across devices. The compiled
+        sampler is cached per shape config: repeated sample() calls with new
+        seeds/stepsizes re-execute the same executable.
+        """
+        num_samples = hmc_iters or num_samples
+        x0 = self.model.get_flat_raw()
+        dt = x0.dtype
+        mesh_key = None if mesh is None else (
+            tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
+        cfg = (int(num_samples), int(num_chains), int(adapt_steps),
+               float(target_accept), mesh_key)
+        cache = getattr(self, "_sample_cache", None)
+        if cache is None:
+            cache = self._sample_cache = {}
+
         master = jax.random.PRNGKey(seed)
+        eps0 = jnp.asarray(self.stepsize, dtype=dt)
         if num_chains == 1:
-            xs, accepts = jax.jit(chain)(master, x0)
+            if cfg not in cache:
+                cache[cfg] = jax.jit(
+                    self._build_chain(num_samples, adapt_steps, target_accept))
+            xs, accepts = cache[cfg](master, x0, eps0)
             self._accept_rate = float(jnp.mean(accepts))
             return self._to_constrained(np.asarray(xs))
         # multiple chains: jittered inits, vmapped; optionally mesh-sharded
@@ -162,18 +186,19 @@ class HMC:
         inits = x0[None, :] + 0.01 * jax.random.normal(
             keys[0], (num_chains, x0.shape[0]), dtype=dt
         )
-        chains_fn = jax.vmap(chain)
+        if cfg not in cache:
+            chain = self._build_chain(num_samples, adapt_steps, target_accept)
+            cache[cfg] = jax.jit(jax.vmap(chain, in_axes=(0, 0, None)))
+        ck, ci = keys[1:], inits
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # shard chains over EVERY mesh axis (a 2-axis dcn x ici mesh
             # spreads chains across hosts and chips alike)
             axis = tuple(mesh.axis_names)
-            ck = jax.device_put(keys[1:], NamedSharding(mesh, P(axis)))
-            ci = jax.device_put(inits, NamedSharding(mesh, P(axis)))
-            xs, accepts = jax.jit(chains_fn)(ck, ci)
-        else:
-            xs, accepts = jax.jit(chains_fn)(keys[1:], inits)
+            ck = jax.device_put(ck, NamedSharding(mesh, P(axis)))
+            ci = jax.device_put(ci, NamedSharding(mesh, P(axis)))
+        xs, accepts = cache[cfg](ck, ci, eps0)
         self._accept_rate = float(jnp.mean(accepts))
         return np.stack([self._to_constrained(np.asarray(x)) for x in xs])
 

@@ -165,3 +165,70 @@ def test_explicit_batched_chol_and_inv_routes_blocked():
     L, Li = chol_and_inv(K)
     np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(K)),
                                atol=1e-8)
+
+
+# --- NLML-level custom VJP for the explicit-inverse exact path --------------
+
+def test_exact_inv_terms_gradients_match_reference_formulation():
+    """The one-matmul backward (dL/dK = 0.5(aa' - cK^-1) form) must match
+    the generic autodiff of the chol+solve formulation, for every output
+    cotangent combination (incl. the rare L/alpha consumers)."""
+    from gpy_tpu.inference.exact import _exact_inv_terms
+
+    r = np.random.default_rng(5)
+    n, d = 40, 2
+    G = r.standard_normal((n, 8))
+    Ky = jnp.asarray(G @ G.T + n * np.eye(n))
+    YY = jnp.asarray(r.standard_normal((n, d)))
+
+    def ref(Ky, YY):
+        L = jnp.linalg.cholesky(Ky)
+        Li = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=Ky.dtype), lower=True)
+        t = Li @ YY
+        alpha = Li.T @ t
+        return jnp.sum(t * t), 2 * jnp.sum(jnp.log(jnp.diag(L))), L, alpha
+
+    # several scalarizations exercise different cotangent patterns
+    combos = [
+        lambda q, ld, L, a: q,                       # quad only
+        lambda q, ld, L, a: ld,                      # logdet only
+        lambda q, ld, L, a: 3.0 * q + 0.5 * ld,      # the NLML combination
+        lambda q, ld, L, a: jnp.sum(a * jnp.arange(d, dtype=a.dtype)),
+        lambda q, ld, L, a: jnp.sum(L * jnp.cos(jnp.arange(n * n, dtype=L.dtype)).reshape(n, n)),
+        lambda q, ld, L, a: q + ld + jnp.sum(a) + jnp.sum(jnp.tril(L)),
+    ]
+    for f in combos:
+        g1 = jax.grad(lambda K, Y: f(*_exact_inv_terms(K, Y)), argnums=(0, 1))(Ky, YY)
+        g2 = jax.grad(lambda K, Y: f(*ref(K, Y)), argnums=(0, 1))(Ky, YY)
+        # symmetric part of the K cotangent is the observable quantity
+        s1 = 0.5 * (g1[0] + g1[0].T)
+        s2 = 0.5 * (g2[0] + g2[0].T)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_exact_inv_terms_vmapped_grad():
+    """vmapped value_and_grad through the explicit-inverse NLML path (the
+    HMC multi-chain shape) matches the per-element loop."""
+    from gpy_tpu.inference.exact import _exact_inv_terms
+
+    r = np.random.default_rng(6)
+    n, C = 300, 3
+    G = r.standard_normal((C, n, 8))
+    Ky = jnp.asarray(G @ np.swapaxes(G, 1, 2) + n * np.eye(n))
+    YY = jnp.asarray(r.standard_normal((C, n, 1)))
+
+    def nlml(K, Y):
+        q, ld, L, a = _exact_inv_terms(K, Y)
+        return 0.5 * (q + ld)
+
+    gv = jax.vmap(jax.grad(nlml, argnums=(0, 1)))(Ky, YY)
+    for b in range(C):
+        g1 = jax.grad(nlml, argnums=(0, 1))(Ky[b], YY[b])
+        np.testing.assert_allclose(np.asarray(gv[0][b]), np.asarray(g1[0]),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gv[1][b]), np.asarray(g1[1]),
+                                   rtol=1e-8, atol=1e-9)
