@@ -57,6 +57,35 @@ def numpy_svgp_step_time(X, Y, Z, batch, iters=5):
     return best
 
 
+_SPREADS = {}
+
+
+def record(extra, name, times, scale=1e3, rate=None, ndigits=2):
+    """Record a timed metric WITH variance bounds (VERDICT r2 weak #3).
+
+    times: raw seconds per repeat. Writes the headline number under `name`
+    (best time in ms, or best rate if `rate` is given as units-per-call) and
+    {best, median, spread_pct, n} under extra["spread"][name] so driver-run
+    deltas can be told apart from tunnel drift.
+    """
+    ts = sorted(float(t) for t in times)
+    med = ts[len(ts) // 2] if len(ts) % 2 else 0.5 * (ts[len(ts) // 2 - 1] + ts[len(ts) // 2])
+    if rate is not None:
+        vals = sorted((rate / t for t in ts), reverse=True)
+        extra[name] = round(vals[0], ndigits)
+        _SPREADS[name] = {"best": round(vals[0], ndigits),
+                          "median": round(rate / med, ndigits),
+                          "spread_pct": round(100.0 * (ts[-1] - ts[0]) / ts[0], 1),
+                          "n": len(ts)}
+    else:
+        extra[name] = round(ts[0] * scale, ndigits)
+        _SPREADS[name] = {"best": round(ts[0] * scale, ndigits),
+                          "median": round(med * scale, ndigits),
+                          "spread_pct": round(100.0 * (ts[-1] - ts[0]) / ts[0], 1),
+                          "n": len(ts)}
+    return extra[name]
+
+
 def measure_dispatch_floor(jax, jnp):
     """Single-dispatch + host-fetch floor through the tunnel, ms.
 
@@ -214,13 +243,15 @@ def main():
     # (~24ms via the tunnel) and the fit-boundary init/write-back don't
     # dominate the per-step number; best-of-3 for tunnel load variance
     steps = 500
-    best_dt = float("inf")
+    svgp_times = []
     for _ in range(3):
         t0 = time.perf_counter()
         model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
         jax.block_until_ready(model.get_flat_raw())
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        svgp_times.append(time.perf_counter() - t0)
+    best_dt = min(svgp_times)
     steps_per_s = steps / best_dt
+    record({}, "svgp_elbo_steps_per_s", svgp_times, rate=steps, ndigits=1)
 
     # --- CPU numpy stand-in for the reference step (same math) -------------
     ref_step = numpy_svgp_step_time(
@@ -266,14 +297,15 @@ def main():
         # a fresh theta per call and force a host fetch of the results.
         v, g = og(jnp.asarray(flat))
         float(v), np.asarray(g)  # compile + fetch
-        best = float("inf")
-        for i in range(1, 4):
+        ts = []
+        for i in range(1, 5):
             xi = jnp.asarray(flat + 1e-3 * i)
             t0 = time.perf_counter()
             v, g = og(xi)
             float(v), np.asarray(g)
-            best = min(best, time.perf_counter() - t0)
-        extra["exact_nlml_grad_ms_n4096"] = best * 1e3
+            ts.append(time.perf_counter() - t0)
+        ts = ts[1:]  # first fresh-args exec pays the one-time ~20ms warmup
+        record(extra, "exact_nlml_grad_ms_n4096", ts)
     except Exception as e:  # pragma: no cover
         extra["exact_nlml_grad_error"] = str(e)[:100]
     finally:
@@ -296,13 +328,13 @@ def main():
         flat_i = np.asarray(mi.get_flat_raw())
         v, g = ogi(jnp.asarray(flat_i))
         float(v), np.asarray(g)  # compile + fetch
-        best_i = float("inf")
-        for i in range(1, 3):
+        ts = []
+        for i in range(1, 4):
             t0 = time.perf_counter()
             v, g = ogi(jnp.asarray(flat_i + 1e-3 * i))
             float(v), np.asarray(g)
-            best_i = min(best_i, time.perf_counter() - t0)
-        extra["exact50k_cg_nlml_grad_ms"] = round(best_i * 1e3, 1)
+            ts.append(time.perf_counter() - t0)
+        record(extra, "exact50k_cg_nlml_grad_ms", ts, ndigits=1)
     except Exception as e:  # pragma: no cover
         extra["exact50k_error"] = str(e)[:100]
     finally:
@@ -321,13 +353,13 @@ def main():
         flat_f = np.asarray(mf.get_flat_raw())
         v, g = ogf(jnp.asarray(flat_f))
         float(v), np.asarray(g)  # compile + fetch
-        best_f = float("inf")
-        for i in range(1, 3):
+        ts = []
+        for i in range(1, 4):
             t0 = time.perf_counter()
             v, g = ogf(jnp.asarray(flat_f + 1e-3 * i))
             float(v), np.asarray(g)
-            best_f = min(best_f, time.perf_counter() - t0)
-        extra["exact50k_cg_nlml_grad_ms_fused"] = round(best_f * 1e3, 1)
+            ts.append(time.perf_counter() - t0)
+        record(extra, "exact50k_cg_nlml_grad_ms_fused", ts, ndigits=1)
     except Exception as e:  # pragma: no cover
         extra["exact50k_fused_error"] = str(e)[:100]
     finally:
@@ -346,13 +378,13 @@ def main():
         flat_b = np.asarray(mb16.get_flat_raw())
         v, g = ogb(jnp.asarray(flat_b))
         float(v), np.asarray(g)
-        best_b16 = float("inf")
-        for i in range(1, 3):
+        ts = []
+        for i in range(1, 4):
             t0 = time.perf_counter()
             v, g = ogb(jnp.asarray(flat_b + 1e-3 * i))
             float(v), np.asarray(g)
-            best_b16 = min(best_b16, time.perf_counter() - t0)
-        extra["exact50k_cg_nlml_grad_ms_bf16gram"] = round(best_b16 * 1e3, 1)
+            ts.append(time.perf_counter() - t0)
+        record(extra, "exact50k_cg_nlml_grad_ms_bf16gram", ts, ndigits=1)
     except Exception as e:  # pragma: no cover
         extra["exact50k_bf16_error"] = str(e)[:100]
     finally:
@@ -371,13 +403,13 @@ def main():
         m10 = SVGP(X10, Y10, Z10, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
         m10.fit(iters=100, batchsize=B)
         m10.fit(iters=100, batchsize=B)
-        best10 = float("inf")
-        for _ in range(2):
+        ts = []
+        for _ in range(3):
             t0 = time.perf_counter()
             m10.fit(iters=steps, batchsize=B)
             jax.block_until_ready(m10.get_flat_raw())
-            best10 = min(best10, time.perf_counter() - t0)
-        extra["svgp_steps_per_s_n10M"] = round(steps / best10, 1)
+            ts.append(time.perf_counter() - t0)
+        record(extra, "svgp_steps_per_s_n10M", ts, rate=steps, ndigits=1)
         del m10, X10, Y10, Z10
     except Exception as e:  # pragma: no cover
         extra["svgp10M_error"] = str(e)[:100]
@@ -394,12 +426,12 @@ def main():
                + 0.1 * rng.standard_normal((1000, 12))).astype(np.float32)
         mb_ = BayesianGPLVM(Yb_, 10, num_inducing=30)
         mb_.optimize(optimizer="adam", max_iters=200, step_size=5e-3)  # compile
-        best_b = float("inf")
-        for _ in range(2):
+        ts = []
+        for _ in range(4):
             t0 = time.perf_counter()
             mb_.optimize(optimizer="adam", max_iters=200, step_size=5e-3)
-            best_b = min(best_b, time.perf_counter() - t0)
-        extra["bgplvm_adam_steps_per_s_n1000"] = round(200 / best_b, 1)
+            ts.append(time.perf_counter() - t0)
+        record(extra, "bgplvm_adam_steps_per_s_n1000", ts, rate=200, ndigits=1)
     except Exception as e:  # pragma: no cover
         extra["bgplvm_error"] = str(e)[:100]
     finally:
@@ -419,12 +451,12 @@ def main():
         fc = np.asarray(mc_.get_flat_raw())
         v, g = ogc(jnp.asarray(fc)); float(v); np.asarray(g)
         v, g = ogc(jnp.asarray(fc * 1.000001)); float(v); np.asarray(g)  # double warm
-        best_c = float("inf")
-        for i in range(2, 5):
+        ts = []
+        for i in range(2, 6):
             t0 = time.perf_counter()
             v, g = ogc(jnp.asarray(fc + 1e-4 * i)); float(v); np.asarray(g)
-            best_c = min(best_c, time.perf_counter() - t0)
-        extra["coreg_nlml_grad_ms_n4000"] = round(best_c * 1e3, 1)
+            ts.append(time.perf_counter() - t0)
+        record(extra, "coreg_nlml_grad_ms_n4000", ts, ndigits=1)
     except Exception as e:  # pragma: no cover
         extra["coreg_error"] = str(e)[:100]
     finally:
@@ -446,25 +478,27 @@ def main():
             fl = np.asarray(m.get_flat_raw())
             v, g = og(jnp.asarray(fl)); float(v); np.asarray(g)
             v, g = og(jnp.asarray(fl * 1.0001)); float(v); np.asarray(g)
-            best = float("inf")
-            for i in range(2, 4):
+            ts = []
+            for i in range(2, 5):
                 t0 = time.perf_counter()
                 v, g = og(jnp.asarray(fl + 1e-4 * i)); float(v); np.asarray(g)
-                best = min(best, time.perf_counter() - t0)
-            return best
+                ts.append(time.perf_counter() - t0)
+            return ts
 
-        t_seq = time_ss(False)
-        t_par = time_ss(True)
-        extra["kalman20k_nlml_grad_ms_seq"] = round(t_seq * 1e3, 1)
-        extra["kalman20k_nlml_grad_ms_parallel"] = round(t_par * 1e3, 1)
+        t_seq = record(extra, "kalman20k_nlml_grad_ms_seq", time_ss(False), ndigits=1)
+        t_par = record(extra, "kalman20k_nlml_grad_ms_parallel", time_ss(True), ndigits=1)
         extra["kalman_parallel_speedup"] = round(t_seq / t_par, 2)
     except Exception as e:  # pragma: no cover
         extra["kalman_error"] = str(e)[:100]
     finally:
         signal.alarm(0)
 
-    # --- extra: HMC samples/s/chip scaling curve (BASELINE.json metric axis;
-    # VERDICT r1 item 7: publish samples/s per chain count) ------------------
+    # --- extra: HMC samples/s/chip scaling curve (BASELINE.json metric axis).
+    # Round-2 postmortem: sample() used to embed the PRNG seed as a trace
+    # constant, so every timed call RECOMPILED the sampler — the r2 curve
+    # (flat ~5-9 samples/s at every chain count) measured compile time, and
+    # the r01->r02 "regression" 14.3->8.6 was compile-time drift. With the
+    # executable cache + batched blocked chol path, steps are measured.
     try:
         signal.alarm(420)
         from gpy_tpu.mcmc import HMC
@@ -475,51 +509,44 @@ def main():
         Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
         mh = GPRegression(Xh, Yh, noise_var=0.1)
         hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
-        # chain counts are gated on hardware validation via
-        # _prof_hmc_bisect.py: the round-1 32-chain worker fault did NOT
-        # reproduce on 2026-08-21 (8/16/32 chains all OK at N=250/500/1000,
-        # twice for 16) — default gate 16; raise via GPY_BENCH_HMC_MAX after
-        # re-running the bisect on new machine state.
+        # chain counts validated on hardware to 32 (_prof_hmc_bisect.py,
+        # 2026-08-21); curve gate stays at 16 by default
         hmc_max = int(os.environ.get("GPY_BENCH_HMC_MAX", "16"))
         curve = {}
+        curve_spread = {}
         print("bench: hmc scaling curve...", file=sys.stderr, flush=True)
+        extra["dispatch_floor_ms_hmc_stage"] = round(
+            measure_dispatch_floor(jax, jnp), 1)
         for n_c in (1, 2, 4, 8, 16):
             if n_c > hmc_max:
                 break
-            n_s = max(24, 192 // n_c)
+            n_s = 40
             hmc.sample(num_samples=n_s, num_chains=n_c, seed=0)  # compile+warm
-            t0 = time.perf_counter()
-            hmc.sample(num_samples=n_s, num_chains=n_c, seed=7)
-            dt_h = time.perf_counter() - t0
-            curve[str(n_c)] = round(n_s * n_c / dt_h, 1)
+            ts = []
+            for sd in (3, 5, 7):
+                t0 = time.perf_counter()
+                hmc.sample(num_samples=n_s, num_chains=n_c, seed=sd)
+                ts.append(time.perf_counter() - t0)
+            d = {}
+            record(d, "x", ts, rate=n_s * n_c, ndigits=1)
+            curve[str(n_c)] = d["x"]
+            curve_spread[str(n_c)] = _SPREADS.pop("x")
             print(f"bench: hmc {n_c} chains: {curve[str(n_c)]} samples/s",
                   file=sys.stderr, flush=True)
         extra["hmc_samples_per_s_by_chains_n1000"] = curve
+        _SPREADS["hmc_samples_per_s_by_chains_n1000"] = curve_spread
+        if "8" in curve:
+            # r1/r2-comparable 8-chain headline point
+            extra["hmc_samples_per_s_n1000_8chains"] = curve["8"]
     except Exception as e:  # pragma: no cover
         extra["hmc_error"] = str(e)[:100]
     finally:
         signal.alarm(0)
 
-    # r1-comparable 8-chain point, own alarm window (the curve above can eat
-    # a whole 420s through a slow tunnel; r2 first run lost this metric);
-    # honors the same chain-count gate as the curve
-    try:
-        signal.alarm(300)
-        if int(os.environ.get("GPY_BENCH_HMC_MAX", "16")) < 8:
-            raise RuntimeError("8-chain point gated off by GPY_BENCH_HMC_MAX")
-        n_s8 = 40
-        hmc.sample(num_samples=n_s8, num_chains=8, seed=0)  # compile+warm
-        best8 = float("inf")
-        for s in (3, 5):
-            t0 = time.perf_counter()
-            hmc.sample(num_samples=n_s8, num_chains=8, seed=s)
-            best8 = min(best8, time.perf_counter() - t0)
-        extra["hmc_samples_per_s_n1000_8chains"] = round(n_s8 * 8 / best8, 1)
-    except Exception as e:  # pragma: no cover
-        extra["hmc8_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
-
+    # closing floor: the tunnel floor DRIFTS within one run (30->60ms
+    # observed) — bracketing the run lets a reader discount drifted stages
+    extra["dispatch_floor_ms_end"] = round(measure_dispatch_floor(jax, jnp), 1)
+    extra["spread"] = _SPREADS
     out = {
         "metric": "svgp_elbo_steps_per_s",
         "value": round(steps_per_s, 3),

@@ -241,14 +241,16 @@ class GP(Model):
         logp = self.likelihood.logpdf(fs, jnp.asarray(y)[None], Y_metadata)
         return np.asarray(jax.scipy.special.logsumexp(logp, axis=0) - jnp.log(num_samples))
 
-    def infer_newX(self, Y_new, optimize_iters=200, lr=1e-2, seed=0, variational=False):
+    def infer_newX(self, Y_new, optimize_iters=200, lr=1e-2, seed=0,
+                   variational=False, tol=1e-6, optimizer="adam"):
         """Latent positions X* for new observations Y* on a trained
         latent-variable GP. GPy: gp.py:686-698 +
         inference/latent_function_inference/inferenceX.py:1-173 (which builds
-        a throwaway gradient model; here it is one jitted ascent loop).
+        a throwaway gradient model and runs a real optimizer to tolerance;
+        here the same convergence semantics run as one jitted while_loop).
 
         variational=False (default): MAP point estimate — maximize
-        sum_d log p(y*_d | f(x*)) under the current posterior, by Adam on X*.
+        sum_d log p(y*_d | f(x*)) under the current posterior.
         Returns (X*, log_likelihood).
 
         variational=True: optimize a full q(X*) = prod N(mu, diag(S))
@@ -256,6 +258,13 @@ class GP(Model):
         inferenceX.py:35-60): maximize E_q[log p(y*|f*)] - KL(q || N(0,I))
         with E_q taken through the psi-statistics posterior predictive
         (posterior.py:249-270). Returns (NormalPosterior q(X*), elbo).
+
+        optimize_iters is the iteration BUDGET; the loop exits early once the
+        relative objective decrease falls below `tol` (tol=0 restores the
+        fixed-budget behavior). optimizer: "adam" (default) or "lbfgs"
+        (optax.lbfgs with zoom linesearch — the reference uses scg/lbfgs via
+        the throwaway model's optimize()). The converged iteration count is
+        stored on self._infer_newX_iters.
         """
         import optax
 
@@ -297,21 +306,47 @@ class GP(Model):
 
             params0 = X0
 
-        opt = optax.adam(lr)
+        use_lbfgs = str(optimizer).lower() in ("lbfgs", "l-bfgs-b", "bfgs")
+        opt = optax.lbfgs() if use_lbfgs else optax.adam(lr)
         state = opt.init(params0)
 
-        def step(carry, _):
-            p, state = carry
+        def step(p, state):
             val, g = jax.value_and_grad(neg_elbo)(p)
-            updates, state = opt.update(g, state, p)
-            return (optax.apply_updates(p, updates), state), val
+            if use_lbfgs:
+                updates, state = opt.update(g, state, p, value=val, grad=g,
+                                            value_fn=neg_elbo)
+            else:
+                updates, state = opt.update(g, state, p)
+            return optax.apply_updates(p, updates), state, val
 
-        # whole ascent as one scan — a per-step host loop is dispatch-bound
+        # whole ascent as one while_loop with relative-decrease stopping —
+        # a per-step host loop is dispatch-bound
+        big = jnp.asarray(jnp.inf, dtype=Y_new.dtype)
+
+        def cond(carry):
+            _, _, prev, val, it = carry
+            keep = it < optimize_iters
+            if tol and tol > 0:
+                unconverged = (it < 2) | (
+                    jnp.abs(prev - val) > tol * (1.0 + jnp.abs(val)))
+                keep = keep & unconverged
+            return keep
+
+        def body(carry):
+            p, state, _, val_prev, it = carry
+            p, state, val = step(p, state)
+            return (p, state, val_prev, val, it + 1)
+
         @jax.jit
         def run(p0, state):
-            return jax.lax.scan(step, (p0, state), None, length=optimize_iters)
+            p, state, _, val, it = jax.lax.while_loop(
+                cond, body, (p0, state, big, big, jnp.asarray(0)))
+            # one final evaluation at the converged point
+            return p, neg_elbo(p), it
 
-        (p, _), vals = run(params0, state)
+        p, final_val, iters_used = run(params0, state)
+        self._infer_newX_iters = int(iters_used)
+        vals = jnp.asarray([final_val])
         if variational:
             from .variational import NormalPosterior
 

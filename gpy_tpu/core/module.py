@@ -33,18 +33,54 @@ import jax.numpy as jnp
 from ..config import default_dtype
 from .transformations import Logexp, Logistic, Transform
 
-__all__ = ["Module", "Param", "ParamSpec"]
+__all__ = ["Module", "Param", "ParamSpec", "TieGroup"]
 
 
 class ParamSpec:
-    """Metadata for one parameter: constraint transform, prior, fixed flag."""
+    """Metadata for one parameter: constraint transform, prior, fixed flag,
+    optional tie group (paramz tie parity: tied params share one value and
+    one optimizer slot)."""
 
-    __slots__ = ("transform", "prior", "fixed")
+    __slots__ = ("transform", "prior", "fixed", "tie")
 
-    def __init__(self, transform: Optional[Transform] = None, prior=None, fixed: bool = False):
+    def __init__(self, transform: Optional[Transform] = None, prior=None,
+                 fixed: bool = False, tie=None):
         self.transform = transform
         self.prior = prior
         self.fixed = fixed
+        self.tie = tie
+
+    def __getstate__(self):
+        return (self.transform, self.prior, self.fixed, self.tie)
+
+    def __setstate__(self, s):
+        self.transform, self.prior, self.fixed = s[0], s[1], s[2]
+        self.tie = s[3] if len(s) > 3 else None
+
+
+class TieGroup:
+    """Equivalence class of parameters sharing one value (paramz tie).
+
+    leader_path/follower_paths are dotted paths FROM THE MODULE tie() was
+    called on (normally the model root): the flat optimizer vector carries
+    only the leader; every flat round-trip writes the leader's block into
+    all members. `members` additionally holds (module, name) handles from
+    declaration time so eager assignment through __setattr__/set_value
+    propagates immediately on the declaring model object.
+    """
+
+    __slots__ = ("leader_path", "follower_paths", "members")
+
+    def __init__(self, paths, members):
+        self.leader_path = paths[0]
+        self.follower_paths = tuple(paths[1:])
+        self.members = list(members)
+
+    def __getstate__(self):
+        return (self.leader_path, self.follower_paths, self.members)
+
+    def __setstate__(self, s):
+        self.leader_path, self.follower_paths, self.members = s
 
 
 class Param:
@@ -237,6 +273,11 @@ class Module:
         self._raw[name] = (
             jnp.asarray(spec.transform.inverse(value)) if spec.transform is not None else value
         )
+        if spec.tie is not None:
+            # eager write-through to every tied member (declaration-time
+            # handles; flat round-trips enforce ties path-wise regardless)
+            for m2, n2 in spec.tie.members:
+                m2._raw[n2] = self._raw[name]
 
     def _bump_version(self):
         self.__dict__["_version"] = self.__dict__.get("_version", 0) + 1
@@ -324,6 +365,75 @@ class Module:
             p.set_prior(prior)
         return self
 
+    # --- parameter tying (paramz tie parity; SURVEY layer 0) --------------
+    def tie(self, *paths):
+        """Tie parameters so they share one value and one optimizer slot.
+
+        paths are dotted parameter paths from THIS module (normally the
+        model root), e.g. m.tie("kern.rbf.lengthscale",
+        "kern.rbf_1.lengthscale"). The first path is the leader: the flat
+        optimizer vector carries only its block, every flat round-trip
+        (optimize, checkgrad, HMC) writes it into all members, and eager
+        assignment to any member propagates immediately. Shapes must match.
+        paramz equivalent: Param.tie_together / the ties parameterization.
+        """
+        assert len(paths) >= 2, "tie needs at least two parameter paths"
+        entries = {path: (mod, n) for path, mod, n in self.named_params()}
+        mems = []
+        for p in paths:
+            if p not in entries:
+                raise KeyError(f"no parameter at path {p!r}")
+            mod, n = entries[p]
+            if mod._specs[n].tie is not None:
+                raise ValueError(f"{p!r} is already tied; untie first")
+            mems.append((mod, n))
+        shp = mems[0][0]._raw[mems[0][1]].shape
+        for (mod, n), p in zip(mems, paths):
+            if mod._raw[n].shape != shp:
+                raise ValueError(
+                    f"tied shapes differ: {p!r} has {mod._raw[n].shape}, "
+                    f"leader has {shp}")
+        group = TieGroup(list(paths), mems)
+        lead_raw = mems[0][0]._raw[mems[0][1]]
+        for mod, n in mems:
+            spec = mod._specs[n]
+            mod._specs[n] = ParamSpec(spec.transform, spec.prior, spec.fixed,
+                                      tie=group)
+            mod._raw[n] = lead_raw
+        self._bump_version()
+        return self
+
+    def untie(self, *paths):
+        """Remove any tie groups containing the given paths (all members
+        of each group are released). With no arguments, unties everything."""
+        targets = set(paths)
+        for path, mod, n in self.named_params():
+            tie = mod._specs[n].tie
+            if tie is None:
+                continue
+            if not targets or path in targets or tie.leader_path in targets:
+                for m2, n2 in tie.members:
+                    sp = m2._specs[n2]
+                    if sp.tie is tie:
+                        m2._specs[n2] = ParamSpec(sp.transform, sp.prior,
+                                                  sp.fixed)
+        self._bump_version()
+        return self
+
+    def _sync_ties(self):
+        """Copy each tie leader's raw value onto its followers (path-wise,
+        so it works on any copy of the tree)."""
+        raws = {}
+        for path, mod, n in self.named_params():
+            tie = mod._specs[n].tie
+            if tie is not None and path == tie.leader_path:
+                raws[id(tie)] = mod._raw[n]
+        for path, mod, n in self.named_params():
+            tie = mod._specs[n].tie
+            if tie is not None and path in tie.follower_paths and id(tie) in raws:
+                mod._raw[n] = raws[id(tie)]
+        return self
+
     def structure_version(self) -> int:
         return sum(m.__dict__.get("_version", 0) for m in self.modules())
 
@@ -396,6 +506,8 @@ class Module:
             (path, mod, n)
             for path, mod, n in self.named_params()
             if not mod._specs[n].fixed
+            and not (mod._specs[n].tie is not None
+                     and path in mod._specs[n].tie.follower_paths)
         ]
 
     @property
@@ -411,11 +523,19 @@ class Module:
     def flat_to_raw_dict(self, flat) -> dict:
         out = {}
         i = 0
+        groups = []
         for path, mod, n in self._free_entries():
             shp = mod._raw[n].shape
             sz = int(np.prod(shp))
             out[path] = flat[i : i + sz].reshape(shp)
             i += sz
+            tie = mod._specs[n].tie
+            if tie is not None and path == tie.leader_path:
+                groups.append(tie)
+        # ties: the leader's block is every member's value
+        for tie in groups:
+            for f in tie.follower_paths:
+                out[f] = out[tie.leader_path]
         return out
 
     def set_flat_raw(self, flat):
@@ -454,9 +574,9 @@ class Module:
     def randomize(self, rng: Optional[np.random.Generator] = None):
         """GPy: m.randomize() — used by every gradient-check test."""
         rng = rng or np.random.default_rng()
-        for path, mod, n in self.named_params():
-            if not mod._specs[n].fixed:
-                Param(mod, n).randomize(rng)
+        for path, mod, n in self._free_entries():
+            Param(mod, n).randomize(rng)
+        self._sync_ties()
         return self
 
     # --- printing ---------------------------------------------------------
@@ -467,6 +587,10 @@ class Module:
             v = np.asarray(Param(mod, n).values)
             vstr = f"{v:.6g}" if v.ndim == 0 else f"({', '.join(f'{x:.4g}' for x in v.reshape(-1)[:6])}{', ...' if v.size > 6 else ''})"
             cons = "fixed" if spec.fixed else (str(spec.transform) if spec.transform else "")
+            if spec.tie is not None:
+                cons = (cons + " " if cons else "") + (
+                    "tied" if path == spec.tie.leader_path
+                    else f"tied:{spec.tie.leader_path}")
             prior = type(spec.prior).__name__ if spec.prior is not None else ""
             rows.append((f"{self.name}.{path}", vstr, cons, prior))
         if not rows:

@@ -116,3 +116,31 @@ def test_sde_named_kernels_run_statespace():
     m = StateSpace(t, y, kernel=k)
     assert np.isfinite(float(m.log_likelihood()))
     assert gk.DiffGenomeKern is gk.DEtime
+
+
+def test_infer_newX_tolerance_and_lbfgs():
+    """infer_newX must stop early at tolerance and support lbfgs (reference
+    InferenceX runs a real optimizer to convergence, inferenceX.py:1-173)."""
+    import numpy as np
+    from gpy_tpu.models import GPLVM
+
+    rng = np.random.default_rng(0)
+    Y = (rng.standard_normal((30, 2)) @ rng.standard_normal((2, 5))
+         + 0.05 * rng.standard_normal((30, 5)))
+    m = GPLVM(Y, 2)
+    m.optimize(max_iters=30)
+    Ynew = Y[:4] + 0.01 * rng.standard_normal((4, 5))
+
+    Xmap, ll = m.infer_newX(Ynew, optimize_iters=500, tol=1e-8)
+    assert m._infer_newX_iters < 500  # converged before the budget
+    assert np.isfinite(ll) and Xmap.shape == (4, 2)
+
+    Xl, ll_l = m.infer_newX(Ynew, optimize_iters=200, tol=1e-9,
+                            optimizer="lbfgs")
+    assert np.isfinite(ll_l) and Xl.shape == (4, 2)
+    # lbfgs should reach at least the adam objective (both maximize ll)
+    assert ll_l >= ll - 1.0
+
+    # tol=0 restores the fixed-budget behavior
+    m.infer_newX(Ynew, optimize_iters=25, tol=0)
+    assert m._infer_newX_iters == 25
