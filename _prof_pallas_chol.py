@@ -57,7 +57,7 @@ def main():
         def blk(c, G):
             Gv = G + c * 1e-6
             A = Gv @ jnp.swapaxes(Gv, -1, -2) + 128 * jnp.broadcast_to(
-                jnp.eye(128, jnp.float32), (G.shape[0], 128, 128))
+                jnp.eye(128, dtype=jnp.float32), (G.shape[0], 128, 128))
             L, Li = pallas_block_chol_inv(A)
             return jnp.sum(L) * 1e-9 + jnp.sum(Li) * 1e-9
 

@@ -14,8 +14,10 @@ from .families import (
     LogGaussian,
 )
 from .mixed_noise import MixedNoise, MultioutputLikelihood
+from .symbolic import SymbolicLikelihood
 
 __all__ = [
+    "SymbolicLikelihood",
     "link_functions",
     "Likelihood",
     "Gaussian",

@@ -30,6 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
 
 __all__ = ["pallas_block_chol_inv", "pallas_batched_chol_inv",
            "pallas_chol_available"]
@@ -46,45 +47,60 @@ def pallas_chol_available(K=None, backend=None) -> bool:
     return True
 
 
-def _block_kernel(a_ref, l_ref, li_ref):
+def _block_kernel(a_ref, lt_ref, li_ref, at_ref):
     """chol + inverse of (C, 128, 128) PSD blocks, all C at once.
 
-    Layout notes: the input is symmetric, so "column k of A" is read as ROW
-    k (a cheap sublane slice); the factor is accumulated transposed (LT) and
-    transposed once at the end. Rows above k are masked (they hold stale
-    rank-1 residue by construction). A non-PSD block produces sqrt(<0) =
-    NaN, which poisons the output — exactly what the jitter ladder detects.
+    Every per-column step is a whole-batch VPU op: the C elements ride the
+    8x128 vector lanes together instead of queueing through XLA's
+    one-element-at-a-time native chol. Mosaic constraints shape the code:
+    no dynamic_slice on values and no in-loop transposes, so "column k"
+    vectors are extracted by mask+reduce (the input is symmetric, and the
+    rank-1 updates keep the trailing block symmetric, so row k == column k
+    of A), and the factor is written TRANSPOSED (lt_ref; the caller
+    transposes in XLA). A non-PSD block produces sqrt(<0) = NaN which
+    poisons the whole output — exactly what the jitter ladder detects.
     """
     C, n, _ = a_ref.shape
-    AT0 = a_ref[:]
     lane = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    subl = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    f0 = jnp.float32(0.0)  # explicit f32: weak-typed 0.0 becomes f64 under
+    # x64 mode and Mosaic's convert lowering recurses on f64/i64 scalars
+    at_ref[:] = a_ref[:]
 
-    def chol_body(k, carry):
-        AT, LT = carry
-        row = lax.dynamic_slice(AT, (0, k, 0), (C, 1, n))        # col k of A
-        d = lax.dynamic_slice(row, (0, 0, k), (C, 1, 1))
-        lrow = jnp.where(lane >= k, row, 0.0) / jnp.sqrt(d)      # (C,1,n)
-        LT = lax.dynamic_update_slice(LT, lrow, (0, k, 0))
-        lcol = jnp.transpose(lrow, (0, 2, 1))                    # (C,n,1)
-        AT = AT - lcol * lrow                                    # rank-1
-        return AT, LT
+    def chol_body(k, _):
+        row = at_ref[:, pl.ds(k, 1), :]                          # (C,1,n)
+        d = jnp.sum(jnp.where(lane == k, row, f0), axis=2, keepdims=True)
+        inv_sd = jnp.float32(1.0) / jnp.sqrt(d)
+        lrow = jnp.where(lane >= k, row, f0) * inv_sd            # (C,1,n)
+        lt_ref[:, pl.ds(k, 1), :] = lrow
+        # column k of (symmetric) A via mask+reduce over lanes
+        col = jnp.sum(jnp.where(lane == k, at_ref[:], f0), axis=2,
+                      keepdims=True)                             # (C,n,1)
+        lcol = jnp.where(subl >= k, col, f0) * inv_sd
+        at_ref[:] = at_ref[:] - lcol * lrow                      # rank-1
+        return jnp.int32(0)
 
-    _, LT = lax.fori_loop(0, n, chol_body, (AT0, jnp.zeros_like(AT0)))
-    L = jnp.transpose(LT, (0, 2, 1))
-    l_ref[:] = L
+    # i32 bounds keep the induction variable i32 under x64 (Mosaic's
+    # i64->i32 convert helper recurses)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), chol_body, jnp.int32(0),
+                  unroll=False)
 
-    def inv_body(k, X):
-        # X[k, :] = (e_k - L[k, :k] @ X[:k, :]) / L[k, k]
-        lrow = lax.dynamic_slice(L, (0, k, 0), (C, 1, n))        # row k of L
-        d = lax.dynamic_slice(lrow, (0, 0, k), (C, 1, 1))
-        coeff = jnp.where(lane < k, lrow, 0.0)                   # strict lower
-        s = jnp.sum(jnp.transpose(coeff, (0, 2, 1)) * X, axis=1,
-                    keepdims=True)                               # (C,1,n)
-        ek = (lane == k).astype(X.dtype)
-        newrow = (ek - s) / d
-        return lax.dynamic_update_slice(X, newrow, (0, k, 0))
+    li_ref[:] = jnp.zeros_like(a_ref)
 
-    li_ref[:] = lax.fori_loop(0, n, inv_body, jnp.zeros_like(AT0))
+    def inv_body(k, _):
+        # X[k, :] = (e_k - L[k, :k] @ X[:k, :]) / L[k, k]; row k of L is
+        # lane column k of LT, extracted by mask+reduce
+        lcolT = jnp.sum(jnp.where(lane == k, lt_ref[:], f0), axis=2,
+                        keepdims=True)                           # (C,n,1)
+        d = jnp.sum(jnp.where(subl == k, lcolT, f0), axis=1, keepdims=True)
+        coeff = jnp.where(subl < k, lcolT, f0)                   # strict lower
+        s = jnp.sum(coeff * li_ref[:], axis=1, keepdims=True)    # (C,1,n)
+        ek = (lane == k).astype(jnp.float32)
+        li_ref[:, pl.ds(k, 1), :] = (ek - s) / d
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), inv_body, jnp.int32(0),
+                  unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -99,9 +115,10 @@ def pallas_block_chol_inv(A, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((C, n, n), jnp.float32)] * 2,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((C, n, n), jnp.float32)],
         interpret=interpret,
     )(A.astype(jnp.float32))
-    return out[0], out[1]
+    return jnp.swapaxes(out[0], -1, -2), out[1]
 
 
 def pallas_batched_chol_inv(K, interpret=False):
