@@ -13,7 +13,7 @@ from jax import lax
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
-from gpy_tpu.ops.pallas_chol import pallas_batched_chol_inv, pallas_block_chol_inv  # noqa: E402
+from gpy_tpu.ops.pallas_chol import (pallas_batched_chol_inv, pallas_block_chol_inv, pallas_block_chol, _tri_inv_128)  # noqa: E402
 from gpy_tpu.ops.blocked_linalg import rec_chol_inv  # noqa: E402
 
 
@@ -62,7 +62,18 @@ def main():
             return jnp.sum(L) * 1e-9 + jnp.sum(Li) * 1e-9
 
         t = chain_time(blk, (Gb,), k_short=2, k_long=18)
-        print(f"block128 kernel C={C}: {t*1e3:.3f} ms", file=sys.stderr, flush=True)
+        print(f"block128 v1 kernel C={C}: {t*1e3:.3f} ms", file=sys.stderr, flush=True)
+
+        def blk2(c, G):
+            Gv = G + c * 1e-6
+            A = Gv @ jnp.swapaxes(Gv, -1, -2) + 128 * jnp.broadcast_to(
+                jnp.eye(128, dtype=jnp.float32), (G.shape[0], 128, 128))
+            L = pallas_block_chol(A)
+            Li = _tri_inv_128(L)
+            return jnp.sum(L) * 1e-9 + jnp.sum(Li) * 1e-9
+
+        t = chain_time(blk2, (Gb,), k_short=2, k_long=18)
+        print(f"block128 v2+inv  C={C}: {t*1e3:.3f} ms", file=sys.stderr, flush=True)
 
     for C in (1, 2, 4, 8, 16):
         G = jax.device_put(jnp.asarray(
@@ -73,13 +84,14 @@ def main():
             return Gv @ jnp.swapaxes(Gv, -1, -2) + n * jnp.broadcast_to(
                 jnp.eye(n, dtype=G.dtype), (G.shape[0], n, n))
 
-        def pall(c, G):
-            L, Li = pallas_batched_chol_inv(make_K(c, G))
-            return jnp.sum(L) * 1e-9 + jnp.sum(Li) * 1e-9
+        for ver in (1, 2):
+            def pall(c, G, _v=ver):
+                L, Li = pallas_batched_chol_inv(make_K(c, G), version=_v)
+                return jnp.sum(L) * 1e-9 + jnp.sum(Li) * 1e-9
 
-        t1 = chain_time(pall, (G,))
-        print(f"pallas chol+inv C={C} n={n}: {t1*1e3:.3f} ms",
-              file=sys.stderr, flush=True)
+            t1 = chain_time(pall, (G,))
+            print(f"pallas v{ver} chol+inv C={C} n={n}: {t1*1e3:.3f} ms",
+                  file=sys.stderr, flush=True)
 
         if C in (1, 8):
             def rec(c, G):
@@ -93,7 +105,7 @@ def main():
     # accuracy spot check on chip
     G = rng.standard_normal((4, n, 64)).astype(np.float32)
     K = jnp.asarray(G @ np.swapaxes(G, 1, 2) + n * np.eye(n, dtype=np.float32))
-    L, Li = jax.jit(pallas_batched_chol_inv)(K)
+    L, Li = jax.jit(lambda k: pallas_batched_chol_inv(k, version=2))(K)
     Lr = np.linalg.cholesky(np.asarray(K, np.float64))
     err_L = np.abs(np.asarray(L) - Lr).max() / np.abs(Lr).max()
     err_I = max(np.abs(np.asarray(Li[b], np.float64) @ np.asarray(L[b], np.float64)

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-__all__ = ["pallas_block_chol_inv", "pallas_batched_chol_inv",
-           "pallas_chol_available"]
+__all__ = ["pallas_block_chol_inv", "pallas_block_chol",
+           "pallas_batched_chol_inv", "pallas_chol_available"]
 
 _B = 128  # diagonal block size (MXU/VPU native tile width)
 
@@ -103,9 +103,60 @@ def _block_kernel(a_ref, lt_ref, li_ref, at_ref):
                   unroll=False)
 
 
+_PW = 8  # panel width (sublane-native)
+
+
+def _block_kernel_v2(a_ref, lt_ref, at_ref):
+    """Panelized chol of (C, 128, 128) blocks (factor only, transposed).
+
+    v2 of _block_kernel: the column loop's full-matrix rank-1 updates (the
+    v1 bottleneck: 2 x 128 iterations x (C,128,128) VPU traffic, measured
+    ~0.2 ms at C=8) become 16 unrolled panels — 8 micro-steps each touching
+    only the (C,8,128) panel rows, then ONE rank-8 trailing update per panel
+    done as per-element MXU dots contracting the 8-axis. Row t of the panel
+    after factoring holds L's column k_t over ALL lanes (the within-panel
+    rank-1s update the full row), so the trailing L entries come free, and
+    the trailing update needs no masks: rows at/above the panel are dead
+    (already copied to lt_ref) and already-factored lanes are never read
+    again. No inverse here — the caller inverts the 8x8 diagonal blocks via
+    the exact nilpotent Neumann series and assembles L^-1 by pairwise
+    doubling, all as batched XLA matmuls (see _tri_inv_from_blocks).
+    """
+    C, n, _ = a_ref.shape
+    npan = n // _PW
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    subl8 = lax.broadcasted_iota(jnp.int32, (1, _PW, 1), 1)
+    f0 = jnp.float32(0.0)
+    at_ref[:] = a_ref[:]
+
+    for p in range(npan):
+        base = p * _PW
+        R = at_ref[:, base:base + _PW, :]                        # (C,8,128)
+        for t in range(_PW):
+            k = base + t
+            row = R[:, t:t + 1, :]
+            d = jnp.sum(jnp.where(lane == k, row, f0), axis=2, keepdims=True)
+            inv_sd = jnp.float32(1.0) / jnp.sqrt(d)
+            lrow = jnp.where(lane >= k, row, f0) * inv_sd
+            # panel-local column k (symmetric region, identically updated)
+            lcol = jnp.sum(jnp.where(lane == k, R, f0), axis=2,
+                           keepdims=True) * inv_sd               # (C,8,1)
+            upd = jnp.where(subl8 > t, lcol, f0) * lrow
+            R = jnp.where(subl8 == t, lrow, R - upd)
+        lt_ref[:, base:base + _PW, :] = R
+        # rank-8 trailing update, no masks (dead rows/lanes never read)
+        if p + 1 < npan:
+            for c in range(C):
+                upd = lax.dot_general(
+                    R[c], R[c], (((0,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)          # (128,128)
+                at_ref[c, :, :] = at_ref[c, :, :] - upd
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_block_chol_inv(A, interpret=False):
-    """(L, L^-1) of a (C, 128, 128) batch of PSD blocks — one program."""
+    """(L, L^-1) of a (C, 128, 128) batch of PSD blocks — one program (v1)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -121,7 +172,65 @@ def pallas_block_chol_inv(A, interpret=False):
     return jnp.swapaxes(out[0], -1, -2), out[1]
 
 
-def pallas_batched_chol_inv(K, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_block_chol(A, interpret=False):
+    """L = chol(A) for a (C, 128, 128) batch — panelized v2 kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, n, _ = A.shape
+    out = pl.pallas_call(
+        _block_kernel_v2,
+        out_shape=jax.ShapeDtypeStruct((C, n, n), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C, n, n), jnp.float32)],
+        interpret=interpret,
+    )(A.astype(jnp.float32))
+    return jnp.swapaxes(out, -1, -2)
+
+
+def _tri8_inv_batched(Ld):
+    """Exact inverse of lower-triangular (..., 8, 8) blocks, vectorized.
+
+    Lp = diag(d)(I + N~) with N~ strictly lower => N~^8 = 0, so
+    (I + N~)^-1 = (I - N~)(I + N~^2)(I + N~^4) EXACTLY — three batched
+    matmuls, no per-element native trsm (which serializes on TPU)."""
+    d = jnp.diagonal(Ld, axis1=-2, axis2=-1)
+    A1 = Ld / d[..., :, None]                       # I + N~ (row-normalized)
+    eye = jnp.eye(_PW, dtype=Ld.dtype)
+    N = A1 - eye
+    N2 = N @ N
+    Minv = (eye - N) @ (eye + N2) @ (eye + N2 @ N2)
+    return Minv / d[..., None, :]                   # right-scale by 1/d
+
+
+def _tri_inv_128(Lb):
+    """Inverse of lower-triangular (..., 128, 128) blocks via 8x8 nilpotent
+    leaf inverses + stacked pairwise doubling — batched matmuls only."""
+    *batch, n, _ = Lb.shape
+    nb = n // _PW
+    V = Lb.reshape(*batch, nb, _PW, nb, _PW)
+    D8 = jnp.moveaxis(jnp.diagonal(V, axis1=-4, axis2=-2), -1, -3)
+    inv = _tri8_inv_batched(D8)                     # (..., nb, 8, 8)
+    s = _PW
+    while nb > 1:
+        V = Lb.reshape(*batch, nb // 2, 2 * s, nb // 2, 2 * s)
+        d2 = jnp.moveaxis(jnp.diagonal(V, axis1=-4, axis2=-2), -1, -3)
+        B = d2[..., s:, :s]                         # (..., nb/2, s, s)
+        Ai = inv[..., 0::2, :, :]
+        Ci = inv[..., 1::2, :, :]
+        low = -(Ci @ (B @ Ai))
+        z = jnp.zeros_like(low)
+        inv = jnp.concatenate([
+            jnp.concatenate([Ai, z], -1),
+            jnp.concatenate([low, Ci], -1)], -2)
+        nb //= 2
+        s *= 2
+    return inv[..., 0, :, :]
+
+
+def pallas_batched_chol_inv(K, interpret=False, version=2):
     """(L, L^-1) for PSD K of shape (..., n, n), any leading batch dims.
 
     Right-looking blocked factorization: each 128-diagonal-block is
@@ -155,7 +264,11 @@ def pallas_batched_chol_inv(K, interpret=False):
     dinvs = []
     for j in range(nb):
         Ablk = A[:, :_B, :_B]
-        Ljj, Dinv = pallas_block_chol_inv(Ablk, interpret=interpret)
+        if version == 2:
+            Ljj = pallas_block_chol(Ablk, interpret=interpret)
+            Dinv = _tri_inv_128(Ljj)
+        else:
+            Ljj, Dinv = pallas_block_chol_inv(Ablk, interpret=interpret)
         dinvs.append(Dinv)
         below = A[:, _B:, :_B]                    # (C, rem, B)
         P = below @ T(Dinv)                       # panel: L[i>j, j]

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["rbf_gram_matvec_fused", "stationary_gram_matvec_fused",
-           "kern_gram_matvec_fused", "fused_available"]
+           "kern_gram_matvec_fused", "fused_available",
+           "stationary_gram_matvec_fused_diff", "kern_gram_matvec_fused_diff"]
 
 _BN = 512
 _BM = 512
@@ -230,3 +231,162 @@ def kern_gram_matvec_fused(kern, X, V, noise=None, interpret=None, X2=None,
         jnp.asarray(kern.lengthscale), family=fam, noise=noise,
         interpret=interpret, X2=None if X2 is None else kern._slice(X2),
         accum=accum)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused gram-matvec (VERDICT r2 item 7)
+#
+# The forward above is stop-gradient-only; this wrapper gives (K + noise) @ V
+# a custom VJP so the fused path is a first-class citizen in traced losses:
+#   dV        = (K + noise) @ G            (one more fused matvec — symmetric)
+#   dvariance = sum_ij W_ij K_ij / v       (W = G V^T, formed per tile)
+#   dlengthscale_d = (2/l_d) sum_ij W_ij (-dK/dr2)_ij (dx_d/l_d)^2
+#   dnoise_i  = sum_r G_ir V_ir
+# The theta-moments are ONE extra Pallas reduction over the same tiles
+# (the Gram never leaves VMEM), fusing the role of the reference's
+# lengthscale-gradient Cython kernel (GPy stationary_cython.pyx:20-63,
+# lengthscale_grads) into the matvec path. X is treated as DATA: its
+# cotangent is returned as zeros (exact-GP training differentiates
+# hyperparameters, not inputs; do not use this under a latent-X model).
+# ---------------------------------------------------------------------------
+
+def _dk_dr2(family, r2, v):
+    """dK/d(r^2) per stationary family (r2 = scaled squared distance)."""
+    if family == 0:
+        return -0.5 * v * jnp.exp(-0.5 * r2)
+    r = jnp.sqrt(r2 + 1e-30)
+    if family == 1:  # Matern32: -(3v/2) exp(-sqrt(3) r)
+        return -1.5 * v * jnp.exp(-jnp.sqrt(jnp.float32(3.0)) * r)
+    if family == 2:  # Matern52: -(5v/6)(1 + sqrt(5) r) exp(-sqrt(5) r)
+        s = jnp.sqrt(jnp.float32(5.0)) * r
+        return -(5.0 / 6.0) * v * (1.0 + s) * jnp.exp(-s)
+    # Exponential: -v exp(-r)/(2r); the diagonal (dx == 0) contributes an
+    # exact-zero numerator so the guarded r is safe
+    return -0.5 * v * jnp.exp(-r) / r
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "family", "ndim"))
+def _pallas_gram_moments(Xp, Gp, Vp, v, interpret=False, family=0, ndim=1):
+    """(D+1,) tile-accumulated moments: [sum W K / v, m_1..m_D] with
+    m_d = sum_ij W_ij (-dK/dr2)_ij (dx_d scaled)^2, W = G V^T per tile."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, D = Xp.shape
+    R = Gp.shape[1]
+    grid = (P // _BN, P // _BM)
+
+    def kernel(x_ref, xj_ref, g_ref, vj_ref, scal_ref, out_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        xi = x_ref[:]
+        xj = xj_ref[:]
+        W = jax.lax.dot_general(
+            g_ref[:], vj_ref[:], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (BN, BM)
+        diffs = []
+        r2 = jnp.zeros((xi.shape[0], xj.shape[0]), jnp.float32)
+        for d in range(D):
+            diff = xi[:, d][:, None] - xj[:, d][None, :]
+            d2 = diff * diff
+            diffs.append(d2)
+            r2 = r2 + d2
+        vv = scal_ref[0, 0]
+        kt = _k_of_r2(family, r2, vv)
+        kp = _dk_dr2(family, r2, vv)
+        s_v = jnp.sum(W * kt) / vv
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        vec = s_v * (lane == 0).astype(jnp.float32)
+        for d in range(D):
+            m_d = jnp.sum(W * (-kp) * diffs[d])
+            vec = vec + m_d * (lane == d + 1).astype(jnp.float32)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            out_ref[:] = vec
+
+        @pl.when((i > 0) | (j > 0))
+        def _acc():
+            out_ref[:] = out_ref[:] + vec
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_BN, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BN, R), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BM, R), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 128), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(Xp, Xp, Gp, Vp, v)
+    return out[0, :ndim + 1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def stationary_gram_matvec_fused_diff(X, V, variance, lengthscale, noise,
+                                      family=0, accum="f32x3"):
+    """Differentiable (K_family + diag(noise)) @ V via the fused kernels.
+
+    Square Gram only; gradients flow to V, variance, lengthscale and noise.
+    X is data (zero cotangent). `noise` must be an (N,) array.
+    """
+    return stationary_gram_matvec_fused(X, V, variance, lengthscale,
+                                        family=family, noise=noise,
+                                        accum=accum)
+
+
+def _fused_diff_fwd(X, V, variance, lengthscale, noise, family, accum):
+    y = stationary_gram_matvec_fused(X, V, variance, lengthscale,
+                                     family=family, noise=noise, accum=accum)
+    return y, (X, V, variance, lengthscale, noise)
+
+
+def _fused_diff_bwd(family, accum, res, G):
+    X, V, variance, lengthscale, noise = res
+    G2 = G if G.ndim == 2 else G[:, None]
+    V2 = V if V.ndim == 2 else V[:, None]
+    # dV: K is symmetric -> one more fused matvec
+    dV = stationary_gram_matvec_fused(X, G2, variance, lengthscale,
+                                      family=family, noise=noise, accum=accum)
+    dV = dV if V.ndim == 2 else dV[:, 0]
+    # theta-moments over the same tiles
+    N, D = X.shape
+    ls = jnp.asarray(lengthscale, X.dtype)
+    Xs = (X / ls).astype(jnp.float32)
+    P = ((N + _BN - 1) // _BN) * _BN
+    Rp = ((G2.shape[1] + _LANE - 1) // _LANE) * _LANE
+    Xp = jnp.zeros((P, D), jnp.float32).at[:N].set(Xs)
+    Gp = jnp.zeros((P, Rp), jnp.float32).at[:N, :G2.shape[1]].set(
+        G2.astype(jnp.float32))
+    Vp = jnp.zeros((P, Rp), jnp.float32).at[:N, :V2.shape[1]].set(
+        V2.astype(jnp.float32))
+    vv = jnp.reshape(jnp.asarray(variance, jnp.float32), (1, 1))
+    interp = jax.default_backend() != "tpu"
+    mom = _pallas_gram_moments(Xp, Gp, Vp, vv, interpret=interp,
+                               family=int(family), ndim=D)
+    dvar = mom[0].astype(jnp.result_type(variance))
+    ls_b = jnp.broadcast_to(ls, (D,))
+    dl_full = (2.0 / ls_b) * mom[1:1 + D].astype(ls_b.dtype)
+    lsa = jnp.asarray(lengthscale)
+    dls = jnp.sum(dl_full) if lsa.ndim == 0 else dl_full.astype(lsa.dtype)
+    dnoise = jnp.sum(G2 * V2, axis=1).astype(jnp.asarray(noise).dtype)
+    dvar = jnp.reshape(dvar, jnp.asarray(variance).shape)
+    return (jnp.zeros_like(X), dV.astype(V.dtype), dvar, dls, dnoise)
+
+
+stationary_gram_matvec_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
+def kern_gram_matvec_fused_diff(kern, X, V, noise, accum="f32x3"):
+    """Differentiable dispatch on a kernel object (square Gram + noise)."""
+    fam = _FAMILIES[type(kern).__name__]
+    return stationary_gram_matvec_fused_diff(
+        kern._slice(X), V, jnp.asarray(kern.variance),
+        jnp.asarray(kern.lengthscale), noise, fam, accum)
