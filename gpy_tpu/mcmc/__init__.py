@@ -200,21 +200,34 @@ class HMC:
             ci = jax.device_put(ci, NamedSharding(mesh, P(axis)))
         xs, accepts = cache[cfg](ck, ci, eps0)
         self._accept_rate = float(jnp.mean(accepts))
-        return np.stack([self._to_constrained(np.asarray(x)) for x in xs])
+        # constrain ALL chains in one pass: per-chain _to_constrained costs
+        # 2-3 device dispatches per chain (the r2/r3 16-chain throughput dip
+        # was ~25 ms of tunnel latency x chains x params of post-processing)
+        C, S, P = xs.shape
+        flat = self._to_constrained(np.asarray(xs).reshape(C * S, P))
+        return flat.reshape(C, S, P)
 
     def _to_constrained(self, raw_samples: np.ndarray) -> np.ndarray:
-        """Map raw (unconstrained) samples to constrained parameter space."""
-        out = np.empty_like(raw_samples)
-        i = 0
-        for path, mod, n in self.model._free_entries():
-            spec = mod._specs[n]
-            sz = int(np.prod(mod._raw[n].shape))
-            block = raw_samples[:, i : i + sz]
-            if spec.transform is not None:
-                block = np.asarray(spec.transform.forward(jnp.asarray(block)))
-            out[:, i : i + sz] = block
-            i += sz
-        return out
+        """Map raw (unconstrained) samples to constrained parameter space.
+
+        One jitted dispatch for ALL parameters (a per-param loop of device
+        ops costs ~25 ms tunnel latency each)."""
+        fn = getattr(self, "_constrain_fn", None)
+        if fn is None:
+            entries = [(int(np.prod(mod._raw[n].shape)), mod._specs[n].transform)
+                       for _, mod, n in self.model._free_entries()]
+
+            def constrain(raw):
+                cols = []
+                i = 0
+                for sz, tr in entries:
+                    block = raw[:, i:i + sz]
+                    cols.append(tr.forward(block) if tr is not None else block)
+                    i += sz
+                return jnp.concatenate(cols, axis=1)
+
+            fn = self._constrain_fn = jax.jit(constrain)
+        return np.asarray(fn(jnp.asarray(raw_samples)))
 
 
 class Metropolis_Hastings:

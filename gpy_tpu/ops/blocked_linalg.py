@@ -38,32 +38,40 @@ REC_CHOL_MIN_N = 4095
 _LEAF = 1024
 
 
-def rec_cholesky(A, leaf=_LEAF):
+def rec_cholesky(A, leaf=_LEAF, prec=None):
     """Lower Cholesky factor of A via recursive 2x2 blocking.
 
     [[A11, .  ],     [[L11,  0 ],
      [A21, A22]]  =   [L21, L22]]  with  L11 = chol(A11),
     L21 = A21 L11^-T,  L22 = chol(A22 - L21 L21^T).
+
+    prec: matmul precision for the Schur/trailing updates (None = ambient,
+    i.e. the config-default HIGHEST 6-pass). 'high' (3 bf16 passes) halves
+    the MXU time of the dominant matmuls at ~1.5e-5-relative update error —
+    an opt-in throughput mode (GPY_TPU_CHOL_UPDATE_PRECISION).
     """
     n = A.shape[0]
     if n <= leaf:
         return jnp.linalg.cholesky(A)
     m = n // 2
-    L11 = rec_cholesky(A[:m, :m], leaf)
-    L21 = rec_rsolve_lower_t(A[m:, :m], L11, leaf)
-    L22 = rec_cholesky(A[m:, m:] - L21 @ L21.T, leaf)
+    L11 = rec_cholesky(A[:m, :m], leaf, prec)
+    L21 = rec_rsolve_lower_t(A[m:, :m], L11, leaf, prec)
+    L22 = rec_cholesky(
+        A[m:, m:] - jnp.matmul(L21, L21.T, precision=prec), leaf, prec)
     top = jnp.concatenate([L11, jnp.zeros((m, n - m), A.dtype)], 1)
     return jnp.concatenate([top, jnp.concatenate([L21, L22], 1)], 0)
 
 
-def rec_rsolve_lower_t(B, L, leaf=_LEAF):
+def rec_rsolve_lower_t(B, L, leaf=_LEAF, prec=None):
     """X = B L^-T for lower-triangular L (right-side transposed solve)."""
     n = L.shape[0]
     if n <= leaf:
         return jax.scipy.linalg.solve_triangular(L, B.T, lower=True).T
     m = n // 2
-    X1 = rec_rsolve_lower_t(B[:, :m], L[:m, :m], leaf)
-    X2 = rec_rsolve_lower_t(B[:, m:] - X1 @ L[m:, :m].T, L[m:, m:], leaf)
+    X1 = rec_rsolve_lower_t(B[:, :m], L[:m, :m], leaf, prec)
+    X2 = rec_rsolve_lower_t(
+        B[:, m:] - jnp.matmul(X1, L[m:, :m].T, precision=prec),
+        L[m:, m:], leaf, prec)
     return jnp.concatenate([X1, X2], 1)
 
 

@@ -230,7 +230,7 @@ def _tri_inv_128(Lb):
     return inv[..., 0, :, :]
 
 
-def pallas_batched_chol_inv(K, interpret=False, version=2):
+def pallas_batched_chol_inv(K, interpret=False, version=2, block=None):
     """(L, L^-1) for PSD K of shape (..., n, n), any leading batch dims.
 
     Right-looking blocked factorization: each 128-diagonal-block is
@@ -248,8 +248,9 @@ def pallas_batched_chol_inv(K, interpret=False, version=2):
     for b in batch:
         C *= b
     K = K.reshape((C, n, n))
-    nb = -(-n // _B)
-    npad = nb * _B
+    _Bv = _B if block is None else int(block)
+    nb = -(-n // _Bv)
+    npad = nb * _Bv
     if npad != n:
         pad = npad - n
         eye_pad = jnp.broadcast_to(jnp.eye(pad, dtype=K.dtype), (C, pad, pad))
@@ -263,29 +264,29 @@ def pallas_batched_chol_inv(K, interpret=False, version=2):
     col_blocks = []
     dinvs = []
     for j in range(nb):
-        Ablk = A[:, :_B, :_B]
+        Ablk = A[:, :_Bv, :_Bv]
         if version == 2:
             Ljj = pallas_block_chol(Ablk, interpret=interpret)
             Dinv = _tri_inv_128(Ljj)
         else:
             Ljj, Dinv = pallas_block_chol_inv(Ablk, interpret=interpret)
         dinvs.append(Dinv)
-        below = A[:, _B:, :_B]                    # (C, rem, B)
+        below = A[:, _Bv:, :_Bv]                    # (C, rem, B)
         P = below @ T(Dinv)                       # panel: L[i>j, j]
         col = jnp.concatenate(
-            [jnp.zeros((C, j * _B, _B), K.dtype), Ljj, P], 1)
+            [jnp.zeros((C, j * _Bv, _Bv), K.dtype), Ljj, P], 1)
         col_blocks.append(col)
-        rem = A.shape[1] - _B
+        rem = A.shape[1] - _Bv
         if rem:
-            A = A[:, _B:, _B:] - P @ T(P)
+            A = A[:, _Bv:, _Bv:] - P @ T(P)
         else:
-            A = A[:, _B:, _B:]
+            A = A[:, _Bv:, _Bv:]
     L = jnp.concatenate(col_blocks, -1)
 
     # factor inverse by pairwise doubling over adjacent diagonal ranges:
     # [[A,0],[B,C]]^-1 = [[Ai,0],[-Ci B Ai, Ci]] — two batched matmuls per
     # pair, log2(nb) levels (any nb: odd tails carry to the next level)
-    items = [(dinv, _B, j * _B) for j, dinv in enumerate(dinvs)]
+    items = [(dinv, _Bv, j * _Bv) for j, dinv in enumerate(dinvs)]
     while len(items) > 1:
         nxt = []
         for p in range(0, len(items) - 1, 2):
