@@ -15,6 +15,8 @@ analogue of the blocking itself (LAPACK does it internally on CPU).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +37,22 @@ __all__ = [
 # crossover on v5e-1 is ~2-4k: at N=4096 blocked NLML val+grad beats native
 # by ~10ms. CPU tests only ever exercise the leaf path.
 REC_CHOL_MIN_N = 4095
-_LEAF = 1024
+_LEAF = 512  # leaf sweep 2026-08-21: 512 beats 1024/2048 at n=8192
+
+# Precision of the Schur/trailing-update matmuls inside the blocked chol
+# recursion. Measured on v5e-1 at n=8192 f32 (chain protocol):
+#   leaf512 HIGHEST: 12.16 ms / 15.8 TF/s
+#   leaf512 HIGH:     8.08 ms / 23.7 TF/s  (72% of the f32-effective peak)
+# with max relative factor error 2.5e-7 vs the HIGHEST baseline — the SAME
+# level as changing the leaf size alone (pure f32 reordering), far below
+# the 2.5e-4 gram-entry error that keeps 'high' off globally (config.py):
+# the Schur updates subtract like-magnitude quantities whose bf16x3
+# residual is tiny against the PSD diagonal. 'high' is therefore the
+# default here; set GPY_TPU_CHOL_UPDATE_PRECISION=highest to disable, and
+# the jitchol ladder remains the safety net for marginal matrices.
+_CHOL_UPDATE_PREC = os.environ.get("GPY_TPU_CHOL_UPDATE_PRECISION", "high")
+CHOL_UPDATE_PREC = (None if _CHOL_UPDATE_PREC in ("", "highest", "default")
+                    else _CHOL_UPDATE_PREC)
 
 
 def rec_cholesky(A, leaf=_LEAF, prec=None):
@@ -160,5 +177,5 @@ def cholesky_auto(A, leaf=_LEAF, min_n=None):
     """
     min_n = REC_CHOL_MIN_N if min_n is None else min_n
     if A.ndim == 2 and A.shape[0] > min_n:
-        return rec_cholesky(A, leaf)
+        return rec_cholesky(A, leaf, prec=CHOL_UPDATE_PREC)
     return jnp.linalg.cholesky(A)
