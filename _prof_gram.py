@@ -91,17 +91,24 @@ def main():
         sum(((X[:, d:d+1] / ls[d] + c * 1e-6) - (X[None, :, d] / ls[d])) ** 2
             for d in range(D))) * 1e-9)
 
-    # b. exp only (resident negative matrix)
-    R2 = jax.device_put(jnp.asarray(dist2(np.asarray(Xs0), P.HIGHEST)))
-    tm("exp_only", lambda c: jnp.sum(jnp.exp(-0.5 * (R2 + c * 1e-9))) * 1e-9)
+    # b. exp only (resident negative matrix — passed as ARG, a 268MB
+    # closure constant 413s the remote compiler)
+    R2 = jax.jit(lambda Xs: dist2(Xs, P.HIGHEST))(Xs0)
+    tm("exp_only", lambda c, R2: jnp.sum(jnp.exp(-0.5 * (R2 + c * 1e-9))) * 1e-9,
+       (R2,))
 
     # c. full gram
     tm("gram_highest", lambda c: jnp.sum(
         jnp.exp(-0.5 * dist2((X + c * 1e-6) / ls, P.HIGHEST))) * 1e-9)
     tm("gram_high", lambda c: jnp.sum(
         jnp.exp(-0.5 * dist2((X + c * 1e-6) / ls, P.HIGH))) * 1e-9)
-    tm("gram_f32x3", lambda c: jnp.sum(
-        jnp.exp(-0.5 * dist2_f32x3((X + c * 1e-6) / ls))) * 1e-9)
+
+    def gram_direct(c):
+        Xs = (X + c * 1e-6) / ls
+        r2 = sum((Xs[:, d:d+1] - Xs[None, :, d]) ** 2 for d in range(D))
+        return jnp.sum(jnp.exp(-0.5 * r2)) * 1e-9
+
+    tm("gram_direct_vpu", gram_direct)
 
     # d. force a real materialization: two independent consumers of K
     def gram_2consumer(c):
@@ -111,9 +118,12 @@ def main():
     tm("gram_2consumers", gram_2consumer)
 
     # error of HIGH / f32x3 vs HIGHEST on the gram entries
-    Kh = jnp.exp(-0.5 * dist2(Xs0, P.HIGHEST))
-    for nm, K2 in (("high", jnp.exp(-0.5 * dist2(Xs0, P.HIGH))),
-                   ("f32x3", jnp.exp(-0.5 * dist2_f32x3(Xs0)))):
+    def direct_r2(Xs):
+        return sum((Xs[:, d:d+1] - Xs[None, :, d]) ** 2 for d in range(D))
+
+    Kh = jax.jit(lambda Xs: jnp.exp(-0.5 * dist2(Xs, P.HIGHEST)))(Xs0)
+    for nm, K2 in (("high", jax.jit(lambda Xs: jnp.exp(-0.5 * dist2(Xs, P.HIGH)))(Xs0)),
+                   ("direct", jax.jit(lambda Xs: jnp.exp(-0.5 * direct_r2(Xs)))(Xs0))):
         err = float(jnp.max(jnp.abs(K2 - Kh)))
         print(f"gram {nm} max abs err vs highest: {err:.3e}", file=sys.stderr)
         res[f"err_{nm}"] = err
