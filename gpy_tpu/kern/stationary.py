@@ -70,6 +70,16 @@ class Stationary(Kern):
         """
         ls = jnp.asarray(self.lengthscale)
         Xs = X / ls
+        if Xs.shape[-1] <= 8 and Xs.ndim == 2:
+            # direct per-dim squared differences: exact f32 (no expansion
+            # cancellation, no clamp, exact-zero diagonal) and FASTER than
+            # the 6-pass MXU expansion at shallow D (0.33 vs 0.69 ms at
+            # N=8192 D=8 — the gram becomes exp-bound)
+            X2s = Xs if X2 is None else X2 / ls
+            r2 = (Xs[:, 0:1] - X2s[None, :, 0]) ** 2
+            for d in range(1, Xs.shape[-1]):
+                r2 = r2 + (Xs[:, d:d + 1] - X2s[None, :, d]) ** 2
+            return r2
         if X2 is None:
             sq = jnp.sum(Xs * Xs, axis=-1)
             r2 = sq[:, None] + sq[None, :] - 2.0 * (Xs @ Xs.T)

@@ -29,7 +29,22 @@ _BN = 256
 _BM = 256
 
 
+def _direct_r2(Xs, X2s):
+    """Per-dim squared differences on the VPU: exact f32 (no expansion
+    cancellation, no clamp, exact-zero diagonal). Measured at N=8192 D=8:
+    0.33 ms vs 0.69 for the 6-pass MXU expansion — the gram is then
+    exp-bound (exp alone: 0.32 ms), i.e. at its elementwise roofline, with
+    max entry deviation 9e-6 (f32 class). Beats 'high'-precision matmuls
+    (0.36 ms) which cost 1.2e-3 entry error."""
+    r2 = (Xs[:, 0:1] - X2s[None, :, 0]) ** 2
+    for d in range(1, Xs.shape[1]):
+        r2 = r2 + (Xs[:, d:d + 1] - X2s[None, :, d]) ** 2
+    return r2
+
+
 def _xla_rbf_gram(Xs, X2s, v):
+    if Xs.shape[1] <= 8:
+        return v * jnp.exp(-0.5 * _direct_r2(Xs, X2s))
     sq1 = jnp.sum(Xs * Xs, axis=-1)
     sq2 = jnp.sum(X2s * X2s, axis=-1)
     r2 = sq1[:, None] + sq2[None, :] - 2.0 * (Xs @ X2s.T)
@@ -47,15 +62,21 @@ def _pallas_rbf_gram(Xs, X2s, v):
     def kernel(x_ref, x2_ref, v_ref, out_ref):
         xi = x_ref[:]  # (BN, D)
         xj = x2_ref[:]  # (BM, D)
-        sq1 = jnp.sum(xi * xi, axis=-1)[:, None]
-        sq2 = jnp.sum(xj * xj, axis=-1)[None, :]
-        # explicit HIGHEST: Mosaic rejects an ambient 'high' matmul-precision
-        # context (only DEFAULT/HIGHEST lower), and the distance cross-term
-        # needs full f32 anyway (cancellation)
-        cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype,
-                        precision=jax.lax.Precision.HIGHEST)
-        r2 = sq1 + sq2 - 2.0 * cross
-        r2 = jnp.where(r2 < 0.0, 0.0, r2)
+        if D <= 8:
+            # direct per-dim differences: exact f32, no clamp (see _direct_r2)
+            r2 = (xi[:, 0][:, None] - xj[:, 0][None, :]) ** 2
+            for d in range(1, D):
+                r2 = r2 + (xi[:, d][:, None] - xj[:, d][None, :]) ** 2
+        else:
+            sq1 = jnp.sum(xi * xi, axis=-1)[:, None]
+            sq2 = jnp.sum(xj * xj, axis=-1)[None, :]
+            # explicit HIGHEST: Mosaic rejects an ambient 'high'
+            # matmul-precision context (only DEFAULT/HIGHEST lower), and the
+            # distance cross-term needs full f32 anyway (cancellation)
+            cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
+            r2 = sq1 + sq2 - 2.0 * cross
+            r2 = jnp.where(r2 < 0.0, 0.0, r2)
         out_ref[:] = v_ref[0, 0] * jnp.exp(-0.5 * r2)
 
     grid = (N // _BN, M // _BM)

@@ -64,3 +64,54 @@ def test_psi2_weighted_grad():
     eps = 1e-6
     fd = (f(jnp.asarray(1.2 + eps), jnp.asarray([0.8, 1.0])) - f(jnp.asarray(1.2 - eps), jnp.asarray([0.8, 1.0]))) / (2 * eps)
     assert float(g[0]) == pytest.approx(float(fd), rel=1e-5)
+
+
+def test_direct_distance_path_matches_expansion():
+    """D<=8 stationary grams use direct per-dim differences (exact f32,
+    exact-zero diagonal); must agree with the matmul expansion and keep
+    gradient parity."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(0)
+    for D in (1, 3, 8):
+        X = jnp.asarray(rng.random((40, D)) * 5.0)
+        k = gk.Matern52(D, ARD=True, lengthscale=0.5 + rng.random(D))
+        r2 = k._scaled_dist2(X)
+        assert float(jnp.max(jnp.abs(jnp.diagonal(r2)))) == 0.0
+        # expansion reference
+        ls = jnp.asarray(k.lengthscale)
+        Xs = X / ls
+        sq = jnp.sum(Xs * Xs, -1)
+        ref = jnp.clip(sq[:, None] + sq[None, :] - 2 * Xs @ Xs.T, 0, None)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10)
+        g1 = jax.grad(lambda x: jnp.sum(jnp.sin(k._scaled_dist2(x))))(X)
+        assert np.isfinite(np.asarray(g1)).all()
+    # D>8 keeps the expansion path
+    X = jnp.asarray(rng.random((20, 9)))
+    k9 = gk.RBF(9)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(k9._scaled_dist2(X))),
+                               0.0, atol=1e-12)
+
+
+def test_pallas_batched_chol_inv_interpret():
+    """Both kernel versions and both driver block sizes, interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpy_tpu.ops.pallas_chol import pallas_batched_chol_inv
+
+    rng = np.random.default_rng(3)
+    G = rng.standard_normal((2, 500, 24)).astype(np.float32)
+    K = jnp.asarray(G @ np.swapaxes(G, 1, 2) + 500 * np.eye(500, dtype=np.float32))
+    Lr = np.linalg.cholesky(np.asarray(K, np.float64))
+    for ver in (1, 2):
+        for blk in (128, 256):
+            L, Li = pallas_batched_chol_inv(K, interpret=True, version=ver,
+                                            block=blk)
+            np.testing.assert_allclose(np.asarray(L), Lr, atol=2e-4)
+            for b in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(Li[b] @ L[b]), np.eye(500), atol=2e-5)
