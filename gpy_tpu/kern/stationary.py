@@ -70,12 +70,15 @@ class Stationary(Kern):
         """
         ls = jnp.asarray(self.lengthscale)
         Xs = X / ls
-        if Xs.shape[-1] <= 8 and Xs.ndim == 2:
-            # direct per-dim squared differences: exact f32 (no expansion
-            # cancellation, no clamp, exact-zero diagonal) and FASTER than
-            # the 6-pass MXU expansion at shallow D (0.33 vs 0.69 ms at
-            # N=8192 D=8 — the gram becomes exp-bound)
-            X2s = Xs if X2 is None else X2 / ls
+        if Xs.shape[-1] <= 8 and Xs.ndim == 2 and X2 is None:
+            # SQUARE grams at shallow D: direct per-dim squared differences —
+            # exact f32 (no expansion cancellation, no clamp, exact-zero
+            # diagonal) and FASTER than the 6-pass MXU expansion (0.33 vs
+            # 0.69 ms at N=8192 D=8 — the gram becomes exp-bound).
+            # Rectangular (Knm) grams keep the MXU expansion: the SVGP step
+            # measured faster with the matmul form (narrow-M VPU broadcasts
+            # plus their VJPs cost more than the cross dot).
+            X2s = Xs
             r2 = (Xs[:, 0:1] - X2s[None, :, 0]) ** 2
             for d in range(1, Xs.shape[-1]):
                 r2 = r2 + (Xs[:, d:d + 1] - X2s[None, :, d]) ** 2

@@ -62,21 +62,15 @@ def _pallas_rbf_gram(Xs, X2s, v):
     def kernel(x_ref, x2_ref, v_ref, out_ref):
         xi = x_ref[:]  # (BN, D)
         xj = x2_ref[:]  # (BM, D)
-        if D <= 8:
-            # direct per-dim differences: exact f32, no clamp (see _direct_r2)
-            r2 = (xi[:, 0][:, None] - xj[:, 0][None, :]) ** 2
-            for d in range(1, D):
-                r2 = r2 + (xi[:, d][:, None] - xj[:, d][None, :]) ** 2
-        else:
-            sq1 = jnp.sum(xi * xi, axis=-1)[:, None]
-            sq2 = jnp.sum(xj * xj, axis=-1)[None, :]
-            # explicit HIGHEST: Mosaic rejects an ambient 'high'
-            # matmul-precision context (only DEFAULT/HIGHEST lower), and the
-            # distance cross-term needs full f32 anyway (cancellation)
-            cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype,
-                            precision=jax.lax.Precision.HIGHEST)
-            r2 = sq1 + sq2 - 2.0 * cross
-            r2 = jnp.where(r2 < 0.0, 0.0, r2)
+        sq1 = jnp.sum(xi * xi, axis=-1)[:, None]
+        sq2 = jnp.sum(xj * xj, axis=-1)[None, :]
+        # explicit HIGHEST: Mosaic rejects an ambient 'high' matmul-precision
+        # context (only DEFAULT/HIGHEST lower), and the distance cross-term
+        # needs full f32 anyway (cancellation)
+        cross = jnp.dot(xi, xj.T, preferred_element_type=xi.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        r2 = sq1 + sq2 - 2.0 * cross
+        r2 = jnp.where(r2 < 0.0, 0.0, r2)
         out_ref[:] = v_ref[0, 0] * jnp.exp(-0.5 * r2)
 
     grid = (N // _BN, M // _BM)
@@ -99,9 +93,13 @@ def _pallas_rbf_gram(Xs, X2s, v):
 def use_pallas_for(N: int, M: int, D: int) -> bool:
     from ..config import config
 
+    # D <= 8 prefers the XLA direct-difference path (exp-bound, 0.34 ms at
+    # N=8192 vs 1.8 for this kernel — in-kernel per-dim lane slicing
+    # relayouts cost more than the 6-pass MXU dot saves)
     return (
         config.use_pallas
         and jax.default_backend() == "tpu"
+        and D > 8
         and N % _BN == 0
         and M % _BM == 0
         and N * M >= 1 << 22

@@ -106,7 +106,9 @@ def _batched_chol_inv(K):
             n_batch *= b
         if (config.use_pallas and n_batch <= 64
                 and pallas_chol_available(K)):
-            return pallas_batched_chol_inv(K)
+            # measured at n=1000: v2 (panelized) wins to C<=8, v1 (column
+            # loop) wins beyond (v2's per-element trailing dots scale with C)
+            return pallas_batched_chol_inv(K, version=2 if n_batch <= 8 else 1)
         return rec_chol_inv(K)
     L = jnp.linalg.cholesky(K)
     eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
