@@ -244,7 +244,7 @@ def main():
     # dominate the per-step number; best-of-3 for tunnel load variance
     steps = 500
     svgp_times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
         jax.block_until_ready(model.get_flat_raw())

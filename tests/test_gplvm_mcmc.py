@@ -148,3 +148,26 @@ def test_hmc_shortcut():
     s = hmc.sample(num_samples=50, seed=3)
     assert s.shape == (50, 3)
     assert np.all(np.isfinite(s))
+
+
+def test_hmc_sampler_cache_no_retrace_across_seeds():
+    """Fresh seeds/stepsizes must re-execute the SAME compiled sampler —
+    round-2's bench measured recompilation because the seed was a trace
+    constant."""
+    import numpy as np
+    from gpy_tpu.mcmc import HMC
+    from gpy_tpu.models import GPRegression
+
+    rng = np.random.default_rng(0)
+    X = rng.random((60, 2))
+    Y = np.sin(X[:, :1]) + 0.1 * rng.standard_normal((60, 1))
+    m = GPRegression(X, Y, noise_var=0.1)
+    h = HMC(m, stepsize=5e-3, num_leapfrog=3)
+    h.sample(num_samples=6, num_chains=2, seed=0)
+    h.stepsize = 7e-3
+    h.sample(num_samples=6, num_chains=2, seed=9)
+    (fn,) = h._sample_cache.values()
+    assert fn._cache_size() == 1  # one trace for both seeds and stepsizes
+    # a different chain count is a new executable, not a retrace of the old
+    h.sample(num_samples=6, num_chains=4, seed=1)
+    assert len(h._sample_cache) == 2
