@@ -43,30 +43,41 @@ def _resolve(path: str):
     return getattr(m, name)
 
 
-def _enc(x: Any) -> Any:
+def _enc(x: Any, memo: dict | None = None) -> Any:
+    # Modules appear in the tree BOTH as attributes and in _children (same
+    # object); without identity-preserving encoding they decode into split
+    # copies and post-load mutation writes to one while the objective reads
+    # the other. Modules are therefore memoized: the first encounter
+    # serializes, later encounters emit a reference.
+    if memo is None:
+        memo = {}
     if isinstance(x, Module):
+        if id(x) in memo:
+            return {"__modref__": memo[id(x)]}
+        idx = memo[id(x)] = len(memo)
         return {
             "__module__": _classpath(x),
-            "dict": {k: _enc(v) for k, v in x.__dict__.items() if k not in _SKIP_KEYS},
+            "id": idx,
+            "dict": {k: _enc(v, memo) for k, v in x.__dict__.items() if k not in _SKIP_KEYS},
         }
     if isinstance(x, ParamSpec):
         return {
             "__paramspec__": True,
-            "transform": _enc(x.transform),
-            "prior": _enc(x.prior),
+            "transform": _enc(x.transform, memo),
+            "prior": _enc(x.prior, memo),
             "fixed": bool(x.fixed),
         }
     if isinstance(x, Transform) or isinstance(x, Prior):
-        return {"__obj__": _classpath(x), "dict": {k: _enc(v) for k, v in x.__dict__.items()}}
+        return {"__obj__": _classpath(x), "dict": {k: _enc(v, memo) for k, v in x.__dict__.items()}}
     if isinstance(x, (jnp.ndarray, np.ndarray)):
         arr = np.asarray(x)
         return {"__array__": arr.tolist(), "dtype": str(arr.dtype), "shape": list(arr.shape)}
     if isinstance(x, np.generic):
         return x.item()
     if isinstance(x, dict):
-        return {"__dict__": {k: _enc(v) for k, v in x.items()}}
+        return {"__dict__": {k: _enc(v, memo) for k, v in x.items()}}
     if isinstance(x, (list, tuple)):
-        return {"__seq__": [_enc(v) for v in x], "tuple": isinstance(x, tuple)}
+        return {"__seq__": [_enc(v, memo) for v in x], "tuple": isinstance(x, tuple)}
     if isinstance(x, (int, float, str, bool)) or x is None:
         return x
     if isinstance(x, slice):
@@ -77,26 +88,32 @@ def _enc(x: Any) -> Any:
         return {"__sympy__": sympy.srepr(x)}
     # objects with plain __dict__ (inference methods, normalizers, ...)
     if hasattr(x, "__dict__") and type(x).__module__.startswith("gpy_tpu"):
-        return {"__obj__": _classpath(x), "dict": {k: _enc(v) for k, v in x.__dict__.items() if k not in _SKIP_KEYS}}
+        return {"__obj__": _classpath(x), "dict": {k: _enc(v, memo) for k, v in x.__dict__.items() if k not in _SKIP_KEYS}}
     raise TypeError(f"cannot serialize {type(x)!r}")
 
 
-def _dec(x: Any) -> Any:
+def _dec(x: Any, memo: dict | None = None) -> Any:
+    if memo is None:
+        memo = {}
     if isinstance(x, dict):
+        if "__modref__" in x:
+            return memo[x["__modref__"]]
         if "__module__" in x:
             cls = _resolve(x["__module__"])
             obj = object.__new__(cls)
-            obj.__dict__.update({k: _dec(v) for k, v in x["dict"].items()})
+            if "id" in x:
+                memo[x["id"]] = obj
+            obj.__dict__.update({k: _dec(v, memo) for k, v in x["dict"].items()})
             rebuild = getattr(obj, "_rebuild_after_load", None)
             if rebuild is not None:
                 rebuild()
             return obj
         if "__paramspec__" in x:
-            return ParamSpec(_dec(x["transform"]), _dec(x["prior"]), x["fixed"])
+            return ParamSpec(_dec(x["transform"], memo), _dec(x["prior"], memo), x["fixed"])
         if "__obj__" in x:
             cls = _resolve(x["__obj__"])
             obj = object.__new__(cls)
-            obj.__dict__.update({k: _dec(v) for k, v in x["dict"].items()})
+            obj.__dict__.update({k: _dec(v, memo) for k, v in x["dict"].items()})
             rebuild = getattr(obj, "_rebuild_after_load", None)
             if rebuild is not None:
                 rebuild()
@@ -104,9 +121,9 @@ def _dec(x: Any) -> Any:
         if "__array__" in x:
             return jnp.asarray(np.asarray(x["__array__"], dtype=x["dtype"]).reshape(x["shape"]))
         if "__dict__" in x:
-            return {k: _dec(v) for k, v in x["__dict__"].items()}
+            return {k: _dec(v, memo) for k, v in x["__dict__"].items()}
         if "__seq__" in x:
-            seq = [_dec(v) for v in x["__seq__"]]
+            seq = [_dec(v, memo) for v in x["__seq__"]]
             return tuple(seq) if x["tuple"] else seq
         if "__slice__" in x:
             return slice(*x["__slice__"])
@@ -118,14 +135,30 @@ def _dec(x: Any) -> Any:
 
 
 def to_dict(module: Module) -> dict:
-    return _enc(module)
+    d = _enc(module)
+    if isinstance(module, Module):
+        # ties are root-level (shared TieGroup objects don't survive the
+        # per-spec JSON encoding): record path groups, re-tie on load
+        groups = {}
+        for path, mod, n in module.named_params():
+            tie = getattr(mod._specs[n], "tie", None)
+            if tie is not None:
+                groups[tie.leader_path] = [tie.leader_path,
+                                           *tie.follower_paths]
+        if groups:
+            d["__ties__"] = [groups[k] for k in sorted(groups)]
+    return d
 
 
 def from_dict(d: dict) -> Module:
+    ties = d.get("__ties__") if isinstance(d, dict) else None
     obj = _dec(d)
     # re-init ephemeral caches
     for m in obj.modules() if isinstance(obj, Module) else []:
         m.__dict__.setdefault("_version", 0)
+    if ties and isinstance(obj, Module):
+        for paths in ties:
+            obj.tie(*paths)
     return obj
 
 

@@ -108,3 +108,28 @@ def test_symbolic_kernel_roundtrip():
     k2 = from_dict(to_dict(k))
     X = np.random.default_rng(0).standard_normal((10, 1))
     np.testing.assert_allclose(np.asarray(k2.K(X)), np.asarray(k.K(X)), rtol=1e-12)
+
+
+def test_tie_roundtrips_through_to_dict():
+    import numpy as np
+    import gpy_tpu.kern as gk
+    from gpy_tpu.models import GPRegression
+    from gpy_tpu.util.serialization import from_dict, to_dict
+
+    rng = np.random.default_rng(0)
+    X = rng.random((20, 2))
+    Y = rng.standard_normal((20, 1))
+    m = GPRegression(X, Y, gk.RBF(2) + gk.Matern32(2))
+    m.tie("kern.parts#0.variance", "kern.parts#1.variance")
+    m2 = from_dict(to_dict(m))
+    assert m2.num_free_params == m.num_free_params
+    np.testing.assert_allclose(float(m2.log_likelihood()),
+                               float(m.log_likelihood()), rtol=1e-10)
+    # post-load eager mutation must propagate through the tie AND be seen
+    # by the objective (identity-preserving decode: attribute and _children
+    # views are the same object)
+    m2.kern.parts[0].variance = 3.0
+    np.testing.assert_allclose(np.asarray(m2.kern.parts[1].variance), 3.0)
+    m.kern.parts[0].variance = 3.0
+    np.testing.assert_allclose(float(m2.log_likelihood()),
+                               float(m.log_likelihood()), rtol=1e-10)
