@@ -65,6 +65,10 @@ class HMC:
         n = self.p.shape[0]
         self.M = jnp.asarray(M) if M is not None else jnp.eye(n, dtype=self.p.dtype)
         self.Minv = jnp.linalg.inv(self.M)
+        # momentum sampling uses a PRE-FACTORED mass matrix: calling
+        # multivariate_normal inside the leapfrog kernel re-cholesky's M
+        # every step (and under vmap that's a serialized batched tiny chol)
+        self.M_chol = jnp.linalg.cholesky(self.M)
         self._logp = _logp_fn(model, jacobian_correction)
 
     # --- single-chain kernel ----------------------------------------------
@@ -73,11 +77,11 @@ class HMC:
         Minv = self.Minv
         M = self.M
 
+        Mc = self.M_chol
+
         def kernel(x, key, eps):
             k1, k2 = jax.random.split(key)
-            p0 = jax.random.multivariate_normal(
-                k1, jnp.zeros_like(x), M, dtype=x.dtype
-            )
+            p0 = Mc @ jax.random.normal(k1, x.shape, dtype=x.dtype)
             glogp = jax.grad(logp)
 
             def leapfrog(carry, _):
@@ -287,9 +291,11 @@ class HMC_shortcut(HMC):
         M = self.M
         lo, hi = self.Hstd_th
 
+        Mc = self.M_chol
+
         def kernel(x, key, eps):
             k1, k2 = jax.random.split(key)
-            p0 = jax.random.multivariate_normal(k1, jnp.zeros_like(x), M, dtype=x.dtype)
+            p0 = Mc @ jax.random.normal(k1, x.shape, dtype=x.dtype)
             glogp = jax.grad(logp)
             H0 = -logp(x) + 0.5 * p0 @ Minv @ p0
 
