@@ -14,8 +14,12 @@ sync):
   5. prototype recursive batched chol+inv (trsm-free except leaf) vs C
   6. the real vmapped NLML+grad of GPRegression(N=1000) per chain count
 """
-import time
+import os
 import sys
+import time
+
+os.environ["GPY_TPU_X64"] = "0"  # part 6 imports gpy_tpu; keep f32
+
 import numpy as np
 
 import jax
