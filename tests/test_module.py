@@ -246,3 +246,22 @@ def test_tie_validation_and_randomize_sync():
     assert m3.num_free_params == m.num_free_params
     m3.kern.parts[0].variance = 2.0
     np.testing.assert_allclose(np.asarray(m3.kern.parts[1].variance), 2.0)
+
+
+def test_parallel_restarts_batched_chol_path():
+    """parallel restarts at N>256 drive the exact-GP NLML through the
+    custom-vmap batched chol+inverse rule (the path HMC chains share) —
+    end-to-end: vmapped optimize must improve the objective and match a
+    serial restart's optimum class."""
+    from gpy_tpu.models import GPRegression
+
+    rng = np.random.default_rng(2)
+    X = rng.random((300, 2)) * 4.0
+    Y = np.sin(2 * X[:, :1]) + 0.1 * rng.standard_normal((300, 1))
+    m = GPRegression(X, Y, noise_var=0.5)
+    nl0 = float(-m.log_likelihood())
+    res = m.optimize_restarts(num_restarts=3, parallel=True, seed=0,
+                              max_iters=200, step_size=0.05, verbose=False)
+    assert len(res) == 3
+    assert float(-m.log_likelihood()) < nl0 - 10.0
+    assert np.isfinite(np.asarray(m.get_flat_raw())).all()
