@@ -149,13 +149,15 @@ class Add(CombinationKernel):
         exact because diagonal q(X) factorizes per dim) and *raises* for
         anything else. Here `cross_psi2n_exact` additionally computes the
         exact closed-form cross for RBF x RBF, RBF x Linear and
-        Linear x Linear on OVERLAPPING active_dims; only pairs outside that
-        family fall back to the product-of-psi1 approximation, with a
-        warning (the reference would raise NotImplementedError).
+        Linear x Linear on OVERLAPPING active_dims; pairs outside that
+        family use Gauss-Hermite quadrature when the latent dim admits the
+        product grid (exact up to quadrature error), and only fall back to
+        the product-of-psi1 approximation — with a warning — beyond that
+        (the reference would raise NotImplementedError in all these cases).
         """
         import warnings
 
-        from .psi_comp import cross_psi2n_exact
+        from .psi_comp import cross_psi2n_exact, cross_psi2n_quadrature
 
         total = sum(p.psi2n(Z, qX) for p in self.parts)
         for i in range(len(self.parts)):
@@ -163,13 +165,18 @@ class Add(CombinationKernel):
                 p1, p2 = self.parts[i], self.parts[j]
                 cross = cross_psi2n_exact(p1, p2, Z, qX)
                 if cross is None:
-                    warnings.warn(
-                        f"Add.psi2: no exact cross term for "
-                        f"{type(p1).__name__} x {type(p2).__name__} on "
-                        f"overlapping active_dims; using the product-of-psi1 "
-                        f"approximation (biased bound).", stacklevel=2)
-                    cross = (p1.psi1(Z, qX)[:, :, None]
-                             * p2.psi1(Z, qX)[:, None, :])
+                    Q = jnp.asarray(qX.mean).shape[1]
+                    if Q <= 4 and not hasattr(qX, "gamma"):
+                        cross = cross_psi2n_quadrature(p1, p2, Z, qX)
+                    else:
+                        warnings.warn(
+                            f"Add.psi2: no exact cross term for "
+                            f"{type(p1).__name__} x {type(p2).__name__} on "
+                            f"overlapping active_dims (Q={Q}); using the "
+                            f"product-of-psi1 approximation (biased bound).",
+                            stacklevel=2)
+                        cross = (p1.psi1(Z, qX)[:, :, None]
+                                 * p2.psi1(Z, qX)[:, None, :])
                 total = total + cross + jnp.swapaxes(cross, 1, 2)
         return total
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 __all__ = ["PSICOMP_RBF", "PSICOMP_SSRBF", "PSICOMP_Linear", "psi0_quadrature",
            "psi1_quadrature", "psi2n_quadrature", "slice_psi_inputs",
+           "cross_psi2n_quadrature",
            "cross_psi2n_exact"]
 
 
@@ -356,6 +357,19 @@ def psi1_quadrature(kern, Z, qX, degree=5):
     xs, w = _gh_samples(qX, degree)
     vals = jnp.stack([kern.K(x, Z) for x in xs])  # (P, N, M)
     return jnp.einsum("p,pnm->nm", w, vals)
+
+
+def cross_psi2n_quadrature(p1, p2, Z, qX, degree=5):
+    """<k1(x, Z_m) k2(x, Z_m')> by Gauss-Hermite over q(x) = N(mu, diag S).
+
+    Exact up to quadrature error for ANY kernel pair — used by Add.psi2n
+    when no closed-form cross term exists and the latent dim is small
+    enough for the product grid (the reference raises there; the
+    product-of-psi1 fallback is biased on overlapping dims)."""
+    xs, w = _gh_samples(qX, degree)
+    v1 = jnp.stack([p1.K(x, Z) for x in xs])  # (P, N, M)
+    v2 = jnp.stack([p2.K(x, Z) for x in xs])
+    return jnp.einsum("p,pnm,pnk->nmk", w, v1, v2)
 
 
 def psi2n_quadrature(kern, Z, qX, degree=5):

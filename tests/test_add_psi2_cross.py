@@ -68,10 +68,27 @@ def test_disjoint_dims_product_exact():
     np.testing.assert_allclose(got, want, rtol=1.5e-2, atol=1.5e-2)
 
 
-def test_overlapping_unsupported_pair_warns():
-    k = gk.RBF(Q) + gk.Matern32(Q)
+def test_overlapping_nonclosed_pair_uses_quadrature_at_low_Q():
+    """RBF x Matern32 on shared dims has no closed form: at Q<=4 the
+    cross term comes from GH quadrature (exact to quadrature error, no
+    warning); the reference raises NotImplementedError here."""
+    k = gk.RBF(Q, lengthscale=1.1) + gk.Matern32(Q, lengthscale=0.9)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = np.asarray(k.psi2n(jnp.asarray(Z), QX0))
+    want = _quad_psi2n(k)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_overlapping_unsupported_pair_warns_at_high_Q():
+    Qb = 5
+    mu = rng.standard_normal((3, Qb)) * 0.5
+    S = 0.1 + 0.2 * rng.random((3, Qb))
+    Zb = rng.standard_normal((M, Qb))
+    qb = QX(mu, S)
+    k = gk.RBF(Qb) + gk.Matern32(Qb)
     with pytest.warns(UserWarning, match="product-of-psi1"):
-        out = k.psi2n(jnp.asarray(Z), QX0)
+        out = k.psi2n(jnp.asarray(Zb), qb)
     assert np.isfinite(np.asarray(out)).all()
 
 
