@@ -1,3 +1,3 @@
-from . import regression, classification, dimensionality_reduction, non_gaussian, state_space
+from . import advanced, regression, classification, dimensionality_reduction, non_gaussian, state_space
 
 __all__ = ["regression", "classification", "dimensionality_reduction", "non_gaussian", "state_space"]

@@ -226,3 +226,15 @@ def test_dep_plots_surface():
     ax.set_ylim(10, 20)
     assert len(calls) >= 2
     plt.close("all")
+
+
+def test_advanced_examples():
+    """Round-3 surface demos: tying, symbolic likelihood, fused matrix-free."""
+    from gpy_tpu.examples import advanced
+
+    m = advanced.tied_lengthscales(n=40)
+    assert np.isfinite(float(m.log_likelihood()))
+    m2 = advanced.symbolic_laplace_regression(n=30)
+    assert np.isfinite(float(m2.log_likelihood()))
+    m3 = advanced.matrix_free_exact_gp(n=400)
+    assert np.isfinite(float(m3.log_likelihood()))
