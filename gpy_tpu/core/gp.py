@@ -320,8 +320,10 @@ class GP(Model):
             return optax.apply_updates(p, updates), state, val
 
         # whole ascent as one while_loop with relative-decrease stopping —
-        # a per-step host loop is dispatch-bound
-        big = jnp.asarray(jnp.inf, dtype=Y_new.dtype)
+        # a per-step host loop is dispatch-bound. The carry's value slots
+        # must match neg_elbo's output dtype (NOT Y_new's: f32 Y under x64
+        # would raise a while_loop carry-dtype mismatch)
+        big = jnp.asarray(jnp.inf, dtype=jax.eval_shape(neg_elbo, params0).dtype)
 
         def cond(carry):
             _, _, prev, val, it = carry

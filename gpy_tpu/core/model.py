@@ -154,7 +154,9 @@ class Model(Module):
                 f"{sorted(methods) + ['scg', 'lbfgs_device', 'adam', 'adagrad', 'rmsprop', 'adadelta', 'rprop']}"
             )
         method = methods[optimizer]
-        opts = {"maxiter": max_iters}
+        # scipy's TNC solver takes maxfun, not maxiter (passing maxiter
+        # raises OptimizeWarning: Unknown solver options)
+        opts = {"maxfun": max_iters} if method == "TNC" else {"maxiter": max_iters}
         if method == "L-BFGS-B":
             opts.update(dict(gtol=gtol, ftol=ftol, maxfun=15000 if max_iters < 15000 else max_iters * 2))
         if method == "Nelder-Mead":  # GPy 'simplex' (paramz opt_simplex): gradient-free

@@ -143,16 +143,26 @@ class Param:
     def fix(self, value=None):
         if value is not None:
             self.set_value(value)
-        self.spec.fixed = True
+        self._set_fixed(True)
         self._module._bump_version()
         return self
 
     constrain_fixed = fix
 
     def unfix(self):
-        self.spec.fixed = False
+        self._set_fixed(False)
         self._module._bump_version()
         return self
+
+    def _set_fixed(self, flag):
+        # a tie group shares ONE value/optimizer slot: fixing any member
+        # fixes the group (else the group silently vanished from the flat
+        # vector when only the leader was fixed)
+        self.spec.fixed = flag
+        tie = self.spec.tie
+        if tie is not None:
+            for mod, n in tie.members:
+                mod._specs[n].fixed = flag
 
     unconstrain_fixed = unfix
 
@@ -388,16 +398,26 @@ class Module:
                 raise ValueError(f"{p!r} is already tied; untie first")
             mems.append((mod, n))
         shp = mems[0][0]._raw[mems[0][1]].shape
+        lead_t = mems[0][0]._specs[mems[0][1]].transform
         for (mod, n), p in zip(mems, paths):
             if mod._raw[n].shape != shp:
                 raise ValueError(
                     f"tied shapes differ: {p!r} has {mod._raw[n].shape}, "
                     f"leader has {shp}")
+            t = mod._specs[n].transform
+            # ties share RAW values, so members must map raw->constrained
+            # identically; otherwise constrained values silently diverge
+            if type(t) is not type(lead_t) or getattr(t, "__dict__", {}) != getattr(lead_t, "__dict__", {}):
+                raise ValueError(
+                    f"tied transforms differ: {p!r} has {t!r}, leader has "
+                    f"{lead_t!r}; constrain members identically before tying")
         group = TieGroup(list(paths), mems)
         lead_raw = mems[0][0]._raw[mems[0][1]]
+        # fixing any member means fixing the shared value: unify the flag
+        any_fixed = any(mod._specs[n].fixed for mod, n in mems)
         for mod, n in mems:
             spec = mod._specs[n]
-            mod._specs[n] = ParamSpec(spec.transform, spec.prior, spec.fixed,
+            mod._specs[n] = ParamSpec(spec.transform, spec.prior, any_fixed,
                                       tie=group)
             mod._raw[n] = lead_raw
         self._bump_version()

@@ -63,6 +63,7 @@ class HMC:
         self.num_leapfrog = num_leapfrog
         self.p = model.get_flat_raw()
         n = self.p.shape[0]
+        self._user_M = M is not None
         self.M = jnp.asarray(M) if M is not None else jnp.eye(n, dtype=self.p.dtype)
         self.Minv = jnp.linalg.inv(self.M)
         # momentum sampling uses a PRE-FACTORED mass matrix: calling
@@ -70,6 +71,22 @@ class HMC:
         # every step (and under vmap that's a serialized batched tiny chol)
         self.M_chol = jnp.linalg.cholesky(self.M)
         self._logp = _logp_fn(model, jacobian_correction)
+
+    def _check_mass_matrix(self, n):
+        """Keep M consistent when the model's free-param count changed
+        (fix/tie after construction). Default identity M is rebuilt; a
+        user-supplied M of the wrong size is an error."""
+        if self.M.shape[0] == n:
+            return
+        if self._user_M:
+            raise ValueError(
+                f"mass matrix is {self.M.shape[0]}x{self.M.shape[0]} but the "
+                f"model now has {n} free parameters; construct a new HMC "
+                f"with a matching M")
+        dt = self.M.dtype
+        self.M = jnp.eye(n, dtype=dt)
+        self.Minv = jnp.eye(n, dtype=dt)
+        self.M_chol = jnp.eye(n, dtype=dt)
 
     # --- single-chain kernel ----------------------------------------------
     def _hmc_kernel(self, logp):
@@ -167,11 +184,16 @@ class HMC:
         """
         num_samples = hmc_iters or num_samples
         x0 = self.model.get_flat_raw()
+        self._check_mass_matrix(x0.shape[0])
         dt = x0.dtype
         mesh_key = None if mesh is None else (
             tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
+        # the compiled chain closes over M/Minv/M_chol and the model's logp
+        # STRUCTURE: key on both so mutating the mass matrix or the model
+        # graph (fix/tie/constrain) can't reuse a stale executable
         cfg = (int(num_samples), int(num_chains), int(adapt_steps),
-               float(target_accept), mesh_key)
+               float(target_accept), mesh_key, id(self.M),
+               self.model.structure_version())
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
             cache = self._sample_cache = {}
@@ -216,8 +238,10 @@ class HMC:
 
         One jitted dispatch for ALL parameters (a per-param loop of device
         ops costs ~25 ms tunnel latency each)."""
+        sv = self.model.structure_version()
         fn = getattr(self, "_constrain_fn", None)
-        if fn is None:
+        if fn is None or getattr(self, "_constrain_sv", None) != sv:
+            self._constrain_sv = sv
             entries = [(int(np.prod(mod._raw[n].shape)), mod._specs[n].transform)
                        for _, mod, n in self.model._free_entries()]
 

@@ -62,10 +62,12 @@ def rec_cholesky(A, leaf=_LEAF, prec=None):
      [A21, A22]]  =   [L21, L22]]  with  L11 = chol(A11),
     L21 = A21 L11^-T,  L22 = chol(A22 - L21 L21^T).
 
-    prec: matmul precision for the Schur/trailing updates (None = ambient,
-    i.e. the config-default HIGHEST 6-pass). 'high' (3 bf16 passes) halves
-    the MXU time of the dominant matmuls at ~1.5e-5-relative update error —
-    an opt-in throughput mode (GPY_TPU_CHOL_UPDATE_PRECISION).
+    prec: matmul precision for the Schur/trailing updates. The DEFAULT
+    (via CHOL_UPDATE_PREC) is 'high' (3 bf16 passes) — it halves the MXU
+    time of the dominant matmuls at ~1.5e-5-relative update error, which
+    iterates to a 2.5e-7 factor error (pure reordering class). Set
+    GPY_TPU_CHOL_UPDATE_PRECISION=highest to opt out (None = ambient
+    6-pass HIGHEST).
     """
     n = A.shape[0]
     if n <= leaf:

@@ -248,6 +248,43 @@ def test_tie_validation_and_randomize_sync():
     np.testing.assert_allclose(np.asarray(m3.kern.parts[1].variance), 2.0)
 
 
+def test_tie_transform_and_fix_semantics():
+    """ADVICE r3: tying requires identical constraint transforms (ties share
+    RAW values), and fixing any member fixes the whole group (else the group
+    silently vanished from the flat vector when only the leader was fixed)."""
+    import gpy_tpu.kern as gk
+    from gpy_tpu.core.transformations import Logistic
+    from gpy_tpu.models import GPRegression
+
+    rng = np.random.default_rng(3)
+    X = rng.random((20, 2)); Y = rng.standard_normal((20, 1))
+    m = GPRegression(X, Y, gk.RBF(2) + gk.RBF(2))
+    # mismatched transforms must be rejected
+    m.kern.parts[0].variance.constrain(Logistic(0.01, 10.0))
+    import pytest
+    with pytest.raises(ValueError, match="transform"):
+        m.tie("kern.parts#0.variance", "kern.parts#1.variance")
+    m.kern.parts[0].variance.constrain_positive()
+
+    n_free = m.num_free_params
+    m.tie("kern.parts#0.variance", "kern.parts#1.variance")
+    assert m.num_free_params == n_free - 1
+    # fixing the LEADER fixes the group (exactly one slot disappears, and
+    # unfixing restores exactly that slot)
+    m.kern.parts[0].variance.fix()
+    assert m.num_free_params == n_free - 2
+    assert m.kern.parts[1].variance.spec.fixed
+    m.kern.parts[1].variance.unfix()  # unfix via a FOLLOWER
+    assert m.num_free_params == n_free - 1
+    assert not m.kern.parts[0].variance.spec.fixed
+    # tying a fixed member with a free one fixes the whole group
+    m.untie()
+    m.kern.parts[1].variance.fix()
+    m.tie("kern.parts#0.variance", "kern.parts#1.variance")
+    assert m.kern.parts[0].variance.spec.fixed
+    assert m.num_free_params == n_free - 2
+
+
 def test_parallel_restarts_batched_chol_path():
     """parallel restarts at N>256 drive the exact-GP NLML through the
     custom-vmap batched chol+inverse rule (the path HMC chains share) —
