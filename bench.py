@@ -60,6 +60,19 @@ def numpy_svgp_step_time(X, Y, Z, batch, iters=5):
 _SPREADS = {}
 
 
+def timed_repeats(make_call, n=4, stall_pct=50.0):
+    """Stall discipline (VERDICT r3 weak #6): run make_call(i) -> seconds n
+    times; if the spread exceeds stall_pct (an intra-run tunnel stall), run
+    n more so the artifact records steady-state alongside the stall. Returns
+    (times, retried)."""
+    ts = [make_call(i) for i in range(n)]
+    retried = False
+    if min(ts) > 0 and 100.0 * (max(ts) - min(ts)) / min(ts) > stall_pct:
+        ts += [make_call(n + i) for i in range(n)]
+        retried = True
+    return ts, retried
+
+
 def record(extra, name, times, scale=1e3, rate=None, ndigits=2):
     """Record a timed metric WITH variance bounds (VERDICT r2 weak #3).
 
@@ -243,15 +256,19 @@ def main():
     # (~24ms via the tunnel) and the fit-boundary init/write-back don't
     # dominate the per-step number; best-of-3 for tunnel load variance
     steps = 500
-    svgp_times = []
-    for _ in range(4):
+
+    def _svgp_call(i):
         t0 = time.perf_counter()
         model.fit(iters=steps, batchsize=B, step_size=1e-2, natgrad_step_size=0.1)
         jax.block_until_ready(model.get_flat_raw())
-        svgp_times.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    svgp_times, svgp_retried = timed_repeats(_svgp_call, n=4)
     best_dt = min(svgp_times)
     steps_per_s = steps / best_dt
     record({}, "svgp_elbo_steps_per_s", svgp_times, rate=steps, ndigits=1)
+    if svgp_retried:
+        _SPREADS["svgp_elbo_steps_per_s"]["retried_after_stall"] = True
 
     # --- CPU numpy stand-in for the reference step (same math) -------------
     ref_step = numpy_svgp_step_time(
@@ -457,6 +474,128 @@ def main():
         record(extra, "coreg_nlml_grad_ms_n4000", ts, ndigits=1)
     except Exception as e:  # pragma: no cover
         extra["coreg_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
+    # --- extra: classification — EP / Laplace / EPDTC on the chip
+    # (BASELINE config #3: "GP classification, EP + Laplace, banana";
+    # VERDICT r3 next #1 — the non-Gaussian half had zero TPU numbers) ------
+    try:
+        signal.alarm(420)
+        print("bench: classification (EP/Laplace/EPDTC)...", file=sys.stderr,
+              flush=True)
+        from gpy_tpu.core.sparse_gp import SparseGP
+        from gpy_tpu.inference.ep import EP
+        from gpy_tpu.inference.epdtc import EPDTC
+        from gpy_tpu.inference.laplace import Laplace
+        from gpy_tpu.likelihoods import Bernoulli
+        from gpy_tpu.models import GPClassification, GPClassificationLaplace
+
+        extra["dispatch_floor_ms_cls_stage"] = round(
+            measure_dispatch_floor(jax, jnp), 1)
+
+        def _banana(n):
+            # two interleaved crescent classes (banana-class decision surface)
+            th = rng.uniform(0, np.pi, n).astype(np.float32)
+            rr = (2.0 + 0.25 * rng.standard_normal(n)).astype(np.float32)
+            c = rng.integers(0, 2, n)
+            x1 = np.where(c, rr * np.cos(th), 1.0 - rr * np.cos(th))
+            x2 = np.where(c, rr * np.sin(th) - 0.5, 0.5 - rr * np.sin(th))
+            return (np.stack([x1, x2], 1).astype(np.float32),
+                    c.reshape(-1, 1).astype(np.float32))
+
+        n_cls = 2048
+        Xcl, Ycl = _banana(n_cls)
+
+        def _time_objgrad(m, name, n_rep=4):
+            og = m._get_objgrad()
+            fl = np.asarray(m.get_flat_raw())
+            jax.device_get(og(jnp.asarray(fl)))          # compile + fetch
+            jax.device_get(og(jnp.asarray(fl * 1.0001)))  # fresh-args warmup
+
+            def call(i):
+                t0 = time.perf_counter()
+                jax.device_get(og(jnp.asarray(fl + 1e-4 * (i + 2))))
+                return time.perf_counter() - t0
+
+            ts, retried = timed_repeats(call, n=n_rep)
+            record(extra, name, ts, ndigits=1)
+            if retried:
+                _SPREADS[name]["retried_after_stall"] = True
+
+        # EP (nested: sites re-converge INSIDE every objective evaluation)
+        m_ep = GPClassification(Xcl, Ycl)
+        _time_objgrad(m_ep, "ep_nlml_grad_ms_n2048")
+
+        # EP sweeps-to-converge + ms/sweep. epsilon=0 forces exactly
+        # max_iters sweeps -> two-length differencing cancels the setup
+        # (gram + dispatch floor); the real EP() probe returns its
+        # while_loop iteration count.
+        lik_b = Bernoulli()
+        Kcl = jax.device_put(jnp.asarray(m_ep.kern.K(jnp.asarray(Xcl))
+                                         + 1e-8 * jnp.eye(n_cls)))
+        Yj = jax.device_put(jnp.asarray(Ycl))
+
+        ep_real = EP()
+        n_sweeps = int(jax.jit(
+            lambda K: ep_real._converge_sites(K, lik_b, Yj, None)[2])(Kcl))
+        extra["ep_sweeps_to_converge_n2048"] = n_sweeps
+
+        def sweep_chain(k):
+            probe = EP(epsilon=0.0, max_iters=k)
+
+            @jax.jit
+            def run(K, s):
+                tau, v, _ = probe._converge_sites(K + s * jnp.eye(n_cls), lik_b, Yj, None)
+                return jnp.sum(tau) + jnp.sum(v)
+
+            return run
+
+        f4, f20 = sweep_chain(4), sweep_chain(20)
+        for f in (f4, f20):
+            float(f(Kcl, jnp.float32(0.0)))
+            float(f(Kcl, jnp.float32(1e-6)))
+        t4 = min(_timed_scalar(f4, Kcl, 1e-6 * i) for i in (2, 3, 4))
+        t20 = min(_timed_scalar(f20, Kcl, 1e-6 * i) for i in (5, 6, 7))
+        extra["ep_ms_per_sweep_n2048"] = round(max(t20 - t4, 1e-9) / 16.0 * 1e3, 3)
+
+        # Laplace: full NLML+grad + Newton-iteration cost
+        m_la = GPClassificationLaplace(Xcl, Ycl)
+        _time_objgrad(m_la, "laplace_nlml_grad_ms_n2048")
+        la_real = Laplace()
+        n_newton = int(jax.jit(
+            lambda K: la_real._find_mode(K, lik_b, Yj, None, jnp.zeros_like(Yj))[1])(Kcl))
+        extra["laplace_newton_iters_n2048"] = n_newton
+
+        def newton_chain(k):
+            probe = Laplace(tol=0.0, max_iters=k)
+
+            @jax.jit
+            def run(K, s):
+                f, _ = probe._find_mode(K + s * jnp.eye(n_cls), lik_b, Yj,
+                                        None, jnp.zeros_like(Yj))
+                return jnp.sum(f)
+
+            return run
+
+        g2, g10 = newton_chain(2), newton_chain(10)
+        for f in (g2, g10):
+            float(f(Kcl, jnp.float32(0.0)))
+            float(f(Kcl, jnp.float32(1e-6)))
+        t2 = min(_timed_scalar(g2, Kcl, 1e-6 * i) for i in (2, 3, 4))
+        t10 = min(_timed_scalar(g10, Kcl, 1e-6 * i) for i in (5, 6, 7))
+        extra["laplace_ms_per_newton_n2048"] = round(
+            max(t10 - t2, 1e-9) / 8.0 * 1e3, 3)
+
+        # EPDTC: sparse EP at M=512 on a bigger banana
+        Xcl4, Ycl4 = _banana(4096)
+        Zcl = Xcl4[rng.permutation(4096)[:512]].copy()
+        import gpy_tpu.kern as _gk
+        m_epdtc = SparseGP(Xcl4, Ycl4, Zcl, _gk.RBF(2), Bernoulli(),
+                           inference_method=EPDTC(), name="epdtc_bench")
+        _time_objgrad(m_epdtc, "epdtc_nlml_grad_ms_n4096_m512")
+    except Exception as e:  # pragma: no cover
+        extra["classification_error"] = str(e)[:100]
     finally:
         signal.alarm(0)
 

@@ -5,7 +5,8 @@ from .laplace import Laplace, LaplaceBlock
 from .ep import EP
 from .var_dtc import VarDTC, VarDTC_minibatch
 from .fitc import FITC, DTC, PEP
-from .svgp import SVGPInference, VarDTC_SVI_Multiout, VarDTC_SVI_Multiout_Miss
+from .svgp import SVGPInference
+from .svi_multiout import VarDTC_SVI_Multiout, VarDTC_SVI_Multiout_Miss, PosteriorMultioutput
 from .var_gauss import VarGauss
 from .grid import GaussianGridInference
 from .var_dtc_missing import VarDTCMissingData

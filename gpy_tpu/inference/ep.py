@@ -131,11 +131,11 @@ class EP(LatentFunctionInference):
 
         tau0 = jnp.zeros(N, dtype=dt)
         v0 = jnp.zeros(N, dtype=dt)
-        tau, v, _, _, _ = lax.while_loop(
+        tau, v, _, _, it = lax.while_loop(
             cond, sweep,
             (tau0, v0, jnp.asarray(jnp.inf, dtype=dt), jnp.asarray(delta, dtype=dt), 0),
         )
-        return lax.stop_gradient(tau), lax.stop_gradient(v)
+        return lax.stop_gradient(tau), lax.stop_gradient(v), it
 
     # --- differentiable EP evidence at fixed sites -------------------------
     def _log_marginal(self, K, likelihood, Y, Y_metadata, tau, v):
@@ -168,7 +168,7 @@ class EP(LatentFunctionInference):
             tau = jnp.asarray(cache[1], dtype=K.dtype)
             v = jnp.asarray(cache[2], dtype=K.dtype)
         else:
-            tau, v = self._converge_sites(K, likelihood, Y, Y_metadata)
+            tau, v, _ = self._converge_sites(K, likelihood, Y, Y_metadata)
             import jax.core as _jcore
 
             if not isinstance(tau, _jcore.Tracer):  # eager call: persist sites

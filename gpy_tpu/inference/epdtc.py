@@ -98,12 +98,12 @@ class EPDTC(LatentFunctionInference):
             _, _, diff, _, it = carry
             return (diff > self.epsilon) & (it < self.max_iters)
 
-        tau, v, _, _, _ = lax.while_loop(
+        tau, v, _, _, it = lax.while_loop(
             cond, sweep,
             (jnp.zeros(N, dtype=dt), jnp.zeros(N, dtype=dt),
              jnp.asarray(jnp.inf, dtype=dt), jnp.asarray(delta, dtype=dt), 0),
         )
-        return lax.stop_gradient(tau), lax.stop_gradient(v)
+        return lax.stop_gradient(tau), lax.stop_gradient(v), it
 
     def _log_marginal(self, R, likelihood, Y, Y_metadata, tau, v):
         mu, sig2, m_w, S_w, LB = _posterior_w(R, tau, v)
@@ -137,7 +137,7 @@ class EPDTC(LatentFunctionInference):
             tau = jnp.asarray(cache[1], dtype=R.dtype)
             v = jnp.asarray(cache[2], dtype=R.dtype)
         else:
-            tau, v = self._converge_sites(R, likelihood, Y, Y_metadata)
+            tau, v, _ = self._converge_sites(R, likelihood, Y, Y_metadata)
             import jax.core as _jcore
             import numpy as _onp
 

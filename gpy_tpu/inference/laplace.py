@@ -78,8 +78,19 @@ class Laplace(LatentFunctionInference):
             f, prev_psi, _, it = state
             f_nt, _ = _newton_direction(f, K, lik, Ysg, Y_metadata, msg)
             d = f_nt - f
+            # quadratic form in closed form over the step size: psi(f + s d)
+            # = sum logpdf - (qff + 2 s qfd + s^2 qdd)/2 from TWO solves
+            # (one 2-RHS trsm) — vmapping psi over candidates ran 12
+            # single-RHS cho_solves, a serialized batched trsm on TPU
+            sol = jax.scipy.linalg.cho_solve(
+                (L_K, True), jnp.concatenate([f, d], axis=1))  # (N, 2)
+            qff = jnp.sum(f[:, 0] * sol[:, 0])
+            qfd = jnp.sum(d[:, 0] * sol[:, 0])
+            qdd = jnp.sum(d[:, 0] * sol[:, 1])
             cand = f[None, :, :] + steps[:, None, None] * d[None, :, :]
-            vals = jax.vmap(psi)(cand)
+            lp = jnp.sum(lik.logpdf(cand + msg[None], Ysg[None], Y_metadata),
+                         axis=(1, 2))
+            vals = lp - 0.5 * (qff + 2.0 * steps * qfd + steps**2 * qdd)
             best = jnp.argmax(vals)
             f_new = cand[best]
             new_psi = vals[best]
@@ -95,15 +106,15 @@ class Laplace(LatentFunctionInference):
 
         f0 = jnp.zeros_like(Y)
         state0 = (f0, psi(f0), jnp.asarray(jnp.inf, dtype=dt), 0)
-        f, _, _, _ = lax.while_loop(cond, body, state0)
-        return lax.stop_gradient(f)
+        f, _, _, it = lax.while_loop(cond, body, state0)
+        return lax.stop_gradient(f), it
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
         N, D = Y.shape
         assert D == 1, "Laplace inference supports single-output models (as GPy)"
         m = mean_function.f(X) if mean_function is not None else jnp.zeros_like(Y)
         K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
-        f_star = self._find_mode(K, likelihood, Y, Y_metadata, m)
+        f_star, _ = self._find_mode(K, likelihood, Y, Y_metadata, m)
         # one differentiable Newton step from the converged mode
         f_hat, a = _newton_direction(lax.stop_gradient(f_star), K, likelihood, Y, Y_metadata, m)
         # evidence at the (differentiable) mode
@@ -189,8 +200,15 @@ class LaplaceBlock(Laplace):
             f, prev_psi, _, it = state
             f_nt, _ = _newton_direction_block(f, K, lik, Ysg, Y_metadata, msg)
             d = f_nt - f
+            # closed-form quadratic over the step size (see Laplace.body)
+            sol = jax.scipy.linalg.cho_solve(
+                (L_K, True), jnp.concatenate([f, d], axis=1))  # (N, 2)
+            qff = jnp.sum(f[:, 0] * sol[:, 0])
+            qfd = jnp.sum(d[:, 0] * sol[:, 0])
+            qdd = jnp.sum(d[:, 0] * sol[:, 1])
             cand = f[None, :, :] + steps[:, None, None] * d[None, :, :]
-            vals = jax.vmap(psi)(cand)
+            lp = jax.vmap(lambda ff: jnp.sum(lik.logpdf(ff + msg, Ysg, Y_metadata)))(cand)
+            vals = lp - 0.5 * (qff + 2.0 * steps * qfd + steps**2 * qdd)
             best = jnp.argmax(vals)
             improved = vals[best] > prev_psi
             f_new = jnp.where(improved, cand[best], f)
@@ -203,15 +221,15 @@ class LaplaceBlock(Laplace):
 
         f0 = jnp.zeros_like(Y)
         state0 = (f0, psi(f0), jnp.asarray(jnp.inf, dtype=dt), 0)
-        f, _, _, _ = lax.while_loop(cond, body, state0)
-        return lax.stop_gradient(f)
+        f, _, _, it = lax.while_loop(cond, body, state0)
+        return lax.stop_gradient(f), it
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
         N, D = Y.shape
         assert D == 1, "LaplaceBlock inference supports single-output models (as GPy)"
         m = mean_function.f(X) if mean_function is not None else jnp.zeros_like(Y)
         K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
-        f_star = self._find_mode(K, likelihood, Y, Y_metadata, m)
+        f_star, _ = self._find_mode(K, likelihood, Y, Y_metadata, m)
         f_hat, a = _newton_direction_block(
             lax.stop_gradient(f_star), K, likelihood, Y, Y_metadata, m)
         W, _ = _W_block(f_hat, likelihood, Y, Y_metadata, m)

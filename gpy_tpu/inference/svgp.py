@@ -24,8 +24,7 @@ from .posterior import Posterior
 
 __all__ = ["SVGPInference", "svgp_elbo_parts", "svgp_elbo_parts_L",
            "svgp_elbo_parts_S", "svgp_elbo_parts_S_white",
-           "q_f_marginals_white", "kl_qu_pu_white",
-           "VarDTC_SVI_Multiout", "VarDTC_SVI_Multiout_Miss"]
+           "q_f_marginals_white", "kl_qu_pu_white"]
 
 LOG_2_PI = float(np.log(2 * np.pi))
 CONST_JITTER = 1e-6
@@ -235,24 +234,3 @@ class SVGPInference(LatentFunctionInference):
         wi = Kmmi - KiSKi
         posterior = Posterior(woodbury_vector=wv, woodbury_inv=0.5 * (wi + wi.T), K=Kmm)
         return posterior, log_marginal
-
-
-class VarDTC_SVI_Multiout(SVGPInference):
-    """Named counterpart of GPy's SVI multi-output bound.
-
-    Reference: inference/latent_function_inference/vardtc_svi_multiout.py
-    (267 LoC of Kronecker-factored SVI algebra for GPMultioutRegression).
-    In gpy_tpu the multi-output structure lives in the kernel instead — the
-    model stacks (x, output-index) rows with k_col * k_row(embedding), and
-    this very SVGP ELBO (autodiff'd) is the bound; see
-    models/gp_multiout_regression.py. The class exists so inference-method
-    names match the reference surface one-for-one.
-    """
-
-
-class VarDTC_SVI_Multiout_Miss(VarDTC_SVI_Multiout):
-    """Missing-data variant (reference: vardtc_svi_multiout_miss.py, 309 LoC).
-
-    Missing (x, output) pairs are simply never stacked as rows, so no
-    special-cased bound is needed (models/gp_multiout_regression.py:82).
-    """

@@ -1,7 +1,7 @@
 """Models zoo (public names mirror GPy/models/__init__.py)."""
 from .gp_regression import GPRegression
 from .gp_classification import GPClassification, GPClassificationLaplace
-from .sparse_gp_regression import SparseGPRegression
+from .sparse_gp_regression import SparseGPRegression, SparseGPRegressionMD
 from .sparse_gp_classification import (
     SparseGPClassification,
     SparseGPClassificationUncertainInput,
@@ -31,6 +31,7 @@ __all__ = [
     "GPClassification",
     "GPClassificationLaplace",
     "SparseGPRegression",
+    "SparseGPRegressionMD",
     "SparseGPClassification",
     "SparseGPClassificationUncertainInput",
     "GPLVM",

@@ -15,7 +15,7 @@ from ..inference.fitc import FITC, DTC, PEP
 from ..kern import RBF
 from ..likelihoods import Gaussian
 
-__all__ = ["SparseGPRegression"]
+__all__ = ["SparseGPRegression", "SparseGPRegressionMD"]
 
 
 def _default_Z(X, num_inducing, seed=0):
@@ -91,3 +91,49 @@ class SparseGPRegression(SparseGP):
         )
         self.__dict__["_posterior_cache"] = (fp, post)
         return post
+
+
+class SparseGPRegressionMD(SparseGP):
+    """Sparse GP regression with missing data (indexD API).
+
+    Reference: GPy/models/sparse_gp_regression_md.py:12 — D independent
+    output dimensions sharing one GP prior, each observed at its own subset
+    of the stacked input rows; indexD[n] gives row n's output.
+
+    TPU design: the stacked (X, Y, indexD) data is scattered into an
+    (N, D) matrix with NaNs at unobserved entries and routed to
+    VarDTCMissingData, whose W_nd = 0 masking vmaps the per-dimension
+    collapsed bounds (reference VarDTC_MD's python loop over d,
+    vardtc_md.py) into one program.
+    """
+
+    def __init__(self, X, Y, indexD, kernel=None, Z=None, num_inducing=10,
+                 normalizer=None, individual_Y_noise=False, name="sparse_gp_md"):
+        from ..inference.var_dtc_missing import VarDTCMissingData
+
+        X = np.asarray(X, dtype=float)
+        Y = np.asarray(Y, dtype=float).reshape(-1)
+        indexD = np.asarray(indexD).astype(int).reshape(-1)
+        assert X.shape[0] == Y.shape[0] == indexD.shape[0]
+        D = int(indexD.max()) + 1
+        N = X.shape[0]
+        Yfull = np.full((N, D), np.nan)
+        Yfull[np.arange(N), indexD] = Y
+
+        if kernel is None:
+            kernel = RBF(X.shape[1])
+        if Z is None:
+            Z = _default_Z(X, num_inducing)
+        if individual_Y_noise:
+            noise0 = np.array([np.var(Y[indexD == d]) * 0.01 + 1e-8
+                               for d in range(D)])
+        else:
+            noise0 = float(np.var(Y)) * 0.01
+        super().__init__(
+            X, Yfull, Z, kernel, Gaussian(variance=noise0),
+            inference_method=VarDTCMissingData(), name=name,
+            normalizer=normalizer,
+        )
+        self.__dict__["output_dim"] = D
+        self.__dict__["indexD"] = indexD
+        self.individual_Y_noise = bool(individual_Y_noise)

@@ -121,13 +121,17 @@ def test_gp_multiout_regression():
     F = np.sin(X)
     # three correlated outputs from one latent function
     Y = np.hstack([F, 0.7 * F, -0.5 * F]) + 0.05 * rng.standard_normal((n, D))
-    m = GPMultioutRegression(X, Y, Xr_dim=2, num_inducing=(12,))
+    m = GPMultioutRegression(X, Y, Xr_dim=2, num_inducing=(12, 3), init="rand")
     ll0 = float(m.log_likelihood())
-    m.optimize(max_iters=200)
+    m.optimize(max_iters=300)
     assert float(m.log_likelihood()) > ll0
     assert m.output_embedding.shape == (D, 2)
-    # correlated outputs should have nearby embeddings relative to anticorrelated
-    B = np.asarray(m.kern.parts[1].B)
+    mu, var = m.predict(X)
+    assert mu.shape == (n, D) and var.shape == (n, D)
+    assert np.all(np.isfinite(mu)) and np.all(var > 0)
+    # correlated outputs (0,1) should embed nearer than anticorrelated (0,2)
+    Xr = m.output_embedding
+    B = np.asarray(m.kern_row.K(np.asarray(Xr)))
     assert B[0, 1] > B[0, 2]
 
 
@@ -135,14 +139,20 @@ def test_gp_multiout_regression_md():
     from gpy_tpu.models.gp_multiout_regression import GPMultioutRegressionMD
 
     n = 25
-    X = np.linspace(0, 5, n).reshape(-1, 1)
-    Y1 = np.sin(X) + 0.05 * rng.standard_normal((n, 1))
-    X2 = X[::2]
+    X1 = np.linspace(0, 5, n).reshape(-1, 1)
+    Y1 = np.sin(X1) + 0.05 * rng.standard_normal((n, 1))
+    X2 = X1[::2]
     Y2 = 0.8 * np.sin(X2) + 0.05 * rng.standard_normal((X2.shape[0], 1))
-    m = GPMultioutRegressionMD([X, X2], [Y1, Y2], Xr_dim=1, num_inducing=(10,))
+    X = np.vstack([X1, X2])
+    Y = np.vstack([Y1, Y2])
+    indexD = np.r_[np.zeros(n, dtype=int), np.ones(X2.shape[0], dtype=int)]
+    m = GPMultioutRegressionMD(X, Y, indexD, Xr_dim=1, num_inducing=(10, 2),
+                               init="rand")
     assert np.isfinite(float(m.log_likelihood()))
     m.optimize(max_iters=100)
     assert np.isfinite(float(m.log_likelihood()))
+    mu, var = m.predict(X1)
+    assert mu.shape == (n, 2) and np.all(np.isfinite(mu)) and np.all(var > 0)
 
 
 def test_cluster_with_offset():
