@@ -54,14 +54,16 @@ def collective_bytes(hlo_text: str) -> dict:
 
     Counts each collective instruction's OUTPUT shape (for all-reduce this
     equals the reduced payload a ring moves ~2x over the wire; the factor is
-    topology-dependent, so we report the logical payload)."""
+    topology-dependent, so we report the logical payload). Async pairs are
+    counted ONCE: `-done` forms are skipped ( counting both start and done
+    doubled the r3 artifact's payload numbers)."""
     out = {k: 0 for k in _COLLECTIVES}
     for line in hlo_text.splitlines():
         stripped = line.strip()
         for coll in _COLLECTIVES:
             # match " = <shape> all-reduce(" instruction forms, incl. tuples
-            m = re.search(r"=\s*(.+?)\s+" + coll + r"(-start|-done)?\(", stripped)
-            if m:
+            m = re.search(r"=\s*(.+?)\s+" + coll + r"(-start)?\(", stripped)
+            if m and (coll + "-done") not in stripped:
                 for dt, dims in _SHAPE_RE.findall(m.group(1)):
                     if dt not in _DTYPE_BYTES:
                         continue
@@ -119,7 +121,9 @@ def svgp_weak_scaling(chips=(1, 2, 4, 8), rows_per_chip=2048,
         lowered = jax.jit(step).lower(raw0, st0, Xs, Ys, ws)
         cb = collective_bytes(lowered.compile().as_text())
         comm = cb
-        comm_formula = _tree_bytes(raw0) + np.dtype(np.float32).itemsize
+        # exact: flat gradient (|raw| floats) + the ELBO scalar, same dtype
+        leaf0 = jax.tree_util.tree_leaves(raw0)[0]
+        comm_formula = _tree_bytes(raw0) + leaf0.dtype.itemsize
         raw, st = raw0, st0
         # warm (compile) then timed loop, syncing per step: enqueueing many
         # in-flight shard_map programs starves the XLA CPU rendezvous
@@ -140,11 +144,14 @@ def svgp_weak_scaling(chips=(1, 2, 4, 8), rows_per_chip=2048,
             "M": M, "results": results,
             "comm_bytes_per_step": comm,
             "comm_formula_bytes": int(comm_formula),
-            "comm_formula": ("gradient all-reduce of |raw| floats; the "
-                             "measured payload additionally carries the "
-                             "psum'd cotangents of replicated O(M^2) "
-                             "intermediates (Kmm-path), and is independent "
-                             "of batch size and N")}
+            "comm_formula_exact": comm is not None and
+            comm["all-reduce"] == int(comm_formula),
+            "comm_formula": ("EXACTLY one all-reduce of (|raw| packed "
+                             "gradient floats, 1 ELBO scalar) — the step "
+                             "psums the flat gradient explicitly with "
+                             "shard_map(check_vma=False), so no expanded "
+                             "replicated-intermediate cotangents ride the "
+                             "wire; independent of batch size and N")}
 
 
 def svgp_step_comm_bytes(n_chips=4, batch_per_chip=64, M=16, D=2, N=512,
@@ -188,10 +195,25 @@ def iterative_weak_scaling(chips=(1, 2, 4, 8), rows_per_chip=1024, D=3,
     from gpy_tpu.models import GPRegression
     from gpy_tpu.parallel import sharded_iterative_nlml_grad
 
+    from gpy_tpu.inference.iterative import IterativeGaussianInference
+
     rng = np.random.default_rng(seed)
     devs = jax.devices()
     results = []
     comm = None
+
+    def _time_og(og, flat):
+        v, g = og(flat)
+        jax.block_until_ready(g)
+        best = float("inf")
+        for i in range(3):
+            fi = flat + 1e-4 * (i + 1)
+            t0 = time.perf_counter()
+            v, g = og(fi)
+            jax.block_until_ready(g)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     for k in chips:
         if k > len(devs):
             break
@@ -203,27 +225,40 @@ def iterative_weak_scaling(chips=(1, 2, 4, 8), rows_per_chip=1024, D=3,
         og = sharded_iterative_nlml_grad(mesh, m, max_cg=max_cg,
                                          n_probes=n_probes, block=block)
         flat = m.get_flat_raw()
-        v, g = og(flat)
-        jax.block_until_ready(g)
-        best = float("inf")
-        for i in range(3):
-            fi = flat + 1e-4 * (i + 1)
-            t0 = time.perf_counter()
-            v, g = og(fi)
-            jax.block_until_ready(g)
-            best = min(best, time.perf_counter() - t0)
+        best = _time_og(og, flat)
+        # SAME total problem, unsharded on one device: on a virtual CPU mesh
+        # (devices share the same physical cores) total silicon is equal, so
+        # sharding_overhead == 1.0 is the ideal and anything above it is
+        # genuine collective/partitioning cost — this is the number that
+        # answers "is the sharding broken?" without conflating the O(N^2)
+        # work growth or host contention (VERDICT r3 weak #5a)
+        m1 = GPRegression(X, Y, noise_var=0.1,
+                          inference_method=IterativeGaussianInference(
+                              max_cg=max_cg, n_probes=n_probes, block=block))
+        best1 = _time_og(m1._get_objgrad(), flat)
         if k > 1:  # collectives only exist on real (>1 device) meshes
             comm = collective_bytes(og.lower(flat).compile().as_text())
         results.append({"chips": k, "nlml_grad_ms": round(best * 1e3, 2),
+                        "unsharded_1dev_ms": round(best1 * 1e3, 2),
+                        "sharding_overhead": round(best / best1, 3),
                         "gram_rows": N})
     t1 = results[0]["nlml_grad_ms"]
     for r in results:
         # per-chip work grows linearly with k here (O((N/k)*N) with N=k*n0),
-        # so ideal weak-scaling time is t1 * k
-        r["efficiency"] = round(t1 * r["chips"] / r["nlml_grad_ms"], 3)
+        # so ideal weak-scaling time is t1 * k GIVEN k independent chips; on
+        # a shared-core virtual mesh this conflates host contention — use
+        # sharding_overhead for the sharding-quality signal
+        r["work_normalized_efficiency"] = round(
+            t1 * r["chips"] / r["nlml_grad_ms"], 3)
     return {"program": "sharded_iterative_nlml_grad",
             "rows_per_chip": rows_per_chip, "max_cg": max_cg,
             "results": results, "comm_bytes_per_step": comm,
+            "efficiency_note": ("sharding_overhead = t_sharded(k dev) / "
+                                "t_unsharded(1 dev) on the SAME problem "
+                                "(ideal 1.0 on shared-core virtual meshes); "
+                                "work_normalized_efficiency divides by the "
+                                "k-fold per-chip work growth and is only "
+                                "meaningful on k physically distinct chips"),
             "comm_note": ("static HLO payload (loop bodies counted once): "
                           "all-gather/all-reduce of (N, D+n_probes) vectors, "
                           "executed once per CG iteration — multiply by "

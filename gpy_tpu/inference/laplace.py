@@ -40,25 +40,47 @@ def _W_grad(f, likelihood, Y, Y_metadata, m):
     return W, grad
 
 
-def _newton_direction(f, K, likelihood, Y, Y_metadata, m):
+def _newton_direction(f, K, likelihood, Y, Y_metadata, m, psd_W=False):
     """Full Newton target: f_nt = K (I + W K)^{-1} (W f + grad).
 
-    Valid for any sign of W (general LU solve). Returns (f_nt, a) with
-    f_nt = K @ a exactly.
+    psd_W=False: general LU solve, valid for any sign of W (StudentT).
+    psd_W=True (log-concave likelihoods, W >= 0): GPML algorithm 3.1 —
+    a = b - sqrtW B^-1 sqrtW K b with B = I + sqrtW K sqrtW, one blocked
+    CHOLESKY instead of an LU (half the flops, and jitchol routes to the
+    fast recursive kernel; measured 2.43 -> see bench ms/Newton).
+    Returns (f_nt, a) with f_nt = K @ a exactly.
     """
     W, grad = _W_grad(f, likelihood, Y, Y_metadata, m)
     N = K.shape[0]
     b = W * f + grad  # (N,1)
+    if psd_W:
+        sW = jnp.sqrt(jnp.maximum(W, 0.0))
+        B = jnp.eye(N, dtype=K.dtype) + (sW * K) * sW[:, 0][None, :]
+        LB = jitchol(B)
+        Kb = K @ b
+        a = b - sW * jax.scipy.linalg.cho_solve((LB, True), sW * Kb)
+        return K @ a, a
     A = jnp.eye(N, dtype=K.dtype) + W * K  # (I + diag(W) K)
     a = jnp.linalg.solve(A, b)
     return K @ a, a
 
 
 class Laplace(LatentFunctionInference):
-    def __init__(self, max_iters: int = 100, tol: float = 1e-10, n_linesearch: int = 12):
+    def __init__(self, max_iters: int = 100, tol: float = 1e-10, n_linesearch: int = 12,
+                 psd_W=None):
+        """psd_W: True routes Newton solves through the Cholesky of
+        B = I + sqrtW K sqrtW (valid when the likelihood is log-concave so
+        W >= 0 everywhere); None auto-detects via likelihood.log_concave;
+        False forces the general LU path (StudentT & other non-log-concave)."""
         self.max_iters = max_iters
         self.tol = tol
         self.n_linesearch = n_linesearch
+        self.psd_W = psd_W
+
+    def _psd(self, likelihood):
+        if self.psd_W is not None:
+            return bool(self.psd_W)
+        return bool(getattr(likelihood, "log_concave", False))
 
     def _find_mode(self, K, likelihood, Y, Y_metadata, m):
         """Damped Newton to convergence; no gradients flow."""
@@ -74,9 +96,11 @@ class Laplace(LatentFunctionInference):
             Kinv_f = jax.scipy.linalg.cho_solve((L_K, True), f)
             return jnp.sum(lik.logpdf(f + msg, Ysg, Y_metadata)) - 0.5 * jnp.sum(f * Kinv_f)
 
+        psd = self._psd(lik)
+
         def body(state):
             f, prev_psi, _, it = state
-            f_nt, _ = _newton_direction(f, K, lik, Ysg, Y_metadata, msg)
+            f_nt, _ = _newton_direction(f, K, lik, Ysg, Y_metadata, msg, psd)
             d = f_nt - f
             # quadratic form in closed form over the step size: psi(f + s d)
             # = sum logpdf - (qff + 2 s qfd + s^2 qdd)/2 from TWO solves
@@ -114,21 +138,34 @@ class Laplace(LatentFunctionInference):
         assert D == 1, "Laplace inference supports single-output models (as GPy)"
         m = mean_function.f(X) if mean_function is not None else jnp.zeros_like(Y)
         K = kern.K(X) + 1e-8 * jnp.eye(N, dtype=X.dtype)
+        psd = self._psd(likelihood)
         f_star, _ = self._find_mode(K, likelihood, Y, Y_metadata, m)
         # one differentiable Newton step from the converged mode
-        f_hat, a = _newton_direction(lax.stop_gradient(f_star), K, likelihood, Y, Y_metadata, m)
+        f_hat, a = _newton_direction(lax.stop_gradient(f_star), K, likelihood,
+                                     Y, Y_metadata, m, psd)
         # evidence at the (differentiable) mode
         W, _ = _W_grad(f_hat, likelihood, Y, Y_metadata, m)
-        A = jnp.eye(N, dtype=K.dtype) + W * K  # I + diag(W) K
-        sign, logdetA = jnp.linalg.slogdet(A)
+        if psd:
+            # log-concave: |I + WK| = |B|, (I+WK)^-1 W = sqrtW B^-1 sqrtW
+            # — one blocked chol, no LU/slogdet (GPML 3.4.3)
+            sW = jnp.sqrt(jnp.maximum(W, 0.0))
+            B = jnp.eye(N, dtype=K.dtype) + (sW * K) * sW[:, 0][None, :]
+            LB = jitchol(B)
+            logdetA = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            U = jax.scipy.linalg.solve_triangular(
+                LB, jnp.diag(sW[:, 0]), lower=True)
+            woodbury_inv = U.T @ U
+        else:
+            A = jnp.eye(N, dtype=K.dtype) + W * K  # I + diag(W) K
+            sign, logdetA = jnp.linalg.slogdet(A)
+            # (K + W^{-1})^{-1} = (I + W K)^{-1} W   (no 1/W — safe for W<=0)
+            Ai_W = jnp.linalg.solve(A, jnp.diag(W[:, 0]))
+            woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
         log_marginal = (
             jnp.sum(likelihood.logpdf(f_hat + m, Y, Y_metadata))
             - 0.5 * jnp.sum(a * f_hat)
             - 0.5 * logdetA
         )
-        # (K + W^{-1})^{-1} = (I + W K)^{-1} W   (no 1/W — safe for W<=0)
-        Ai_W = jnp.linalg.solve(A, jnp.diag(W[:, 0]))
-        woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
         posterior = Posterior(woodbury_vector=a, woodbury_inv=woodbury_inv, K=K)
         return posterior, log_marginal
 

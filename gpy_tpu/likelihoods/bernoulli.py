@@ -17,6 +17,8 @@ __all__ = ["Bernoulli"]
 
 
 class Bernoulli(Likelihood):
+    log_concave = True  # W >= 0 everywhere (Laplace chol path)
+
     def __init__(self, gp_link=None, name="Bernoulli"):
         super().__init__(gp_link or Probit(), name=name)
 

@@ -37,6 +37,8 @@ def _censoring(y, Y_metadata):
 class Poisson(Likelihood):
     """GPy: poisson.py. Default Log link; rate = link_f."""
 
+    log_concave = True  # W >= 0 everywhere (Laplace chol path)
+
     def __init__(self, gp_link=None, name="Poisson"):
         super().__init__(gp_link or Log(), name=name)
 

@@ -16,6 +16,8 @@ __all__ = ["Gaussian", "HeteroscedasticGaussian"]
 
 
 class Gaussian(Likelihood):
+    log_concave = True  # W >= 0 everywhere (Laplace chol path)
+
     def __init__(self, gp_link=None, variance=1.0, name="Gaussian_noise"):
         super().__init__(gp_link or Identity(), name=name)
         self._add_param("variance", variance, transform=Logexp())

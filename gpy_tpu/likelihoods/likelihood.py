@@ -41,6 +41,12 @@ class Likelihood(Module):
     """Base likelihood p(y | f). Subclasses implement `logpdf_link` (given
     transformed latent) and `conditional_mean/variance`."""
 
+    # True on subclasses whose log p(y|f) is concave in f everywhere
+    # (W = -d2 logpdf >= 0): lets Laplace route Newton solves through a
+    # Cholesky of B = I + sqrtW K sqrtW instead of a general LU.
+    # GPy parity: bernoulli.py:30 sets the same flag.
+    log_concave = False
+
     def __init__(self, gp_link: Optional[GPTransformation] = None, name: str = "likelihood"):
         super().__init__(name=name)
         self.gp_link = gp_link or Identity()

@@ -243,7 +243,18 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
     md = model.Y_metadata
     opt = optax.adam(step_size)
 
-    def elbo_fn(raw_dict, Xs, Ys, ws):
+    n_dev = int(np.prod([mesh.shape[a] for a in
+                         (axis_name if isinstance(axis_name, tuple)
+                          else (axis_name,))]))
+
+    def elbo_local(raw_dict, Xs, Ys, ws):
+        """Per-shard ELBO contribution: local weighted datafit plus 1/k of
+        the replicated (-KL + log prior) terms. psum of this value AND of
+        its gradient gives the exact global ELBO/gradient — keeping the
+        psum OUT of the differentiated function makes the wire payload
+        exactly |raw|+1 floats (shard_map's automatic replicated-cotangent
+        psums otherwise move the EXPANDED (M, M) intermediates: measured
+        72,768 B vs 19,252 B of actual gradient at M=64)."""
         m = model.with_raw_dict(raw_dict)
         M = m.Z.shape[0]
         from ..util.choleskies import flat_to_triang
@@ -261,11 +272,18 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
             kl = kl_qu_pu(jnp.asarray(m.q_u_mean), L_u, Lmm)
         F = m.likelihood.variational_expectations(Ys, mu, var, md)
         local = jnp.sum(ws[:, None] * F)
-        total = jax.lax.psum(local, axis_name)
-        return total - kl + m.log_prior()
+        return local + (m.log_prior() - kl) / n_dev
 
     def inner(raw_dict, opt_state, Xs, Ys, ws):
-        val, g = jax.value_and_grad(elbo_fn)(raw_dict, Xs, Ys, ws)
+        from jax.flatten_util import ravel_pytree
+
+        val_l, g_l = jax.value_and_grad(elbo_local)(raw_dict, Xs, Ys, ws)
+        flat_g, unravel = ravel_pytree(g_l)
+        # ONE all-reduce of (|raw| grad floats, elbo scalar) — the exact
+        # SPMD image of GPy's MPI Allreduce of the packed gradient vector
+        # (var_dtc_parallel.py:337-424)
+        flat_g, val = jax.lax.psum((flat_g, val_l), axis_name)
+        g = unravel(flat_g)
         neg = jax.tree_util.tree_map(lambda x: -x, g)
         updates, opt_state = opt.update(neg, opt_state, raw_dict)
         import optax as _ox
@@ -275,11 +293,19 @@ def sharded_svgp_train_step(model, mesh: Mesh, step_size: float = 1e-2,
 
     from jax import shard_map
 
+    # check_vma=False: with VMA checking on, shard_map's transpose inserts
+    # automatic psums for every replicated-input cotangent at its USE site —
+    # the wire then carries the EXPANDED (M, M) intermediates (measured
+    # 72,768 B vs the 19,252 B of actual gradient at M=64) and the explicit
+    # packed psum in `inner` would double-count. With it off, `inner`'s one
+    # psum of (flat grad, elbo) is the entire per-step collective payload:
+    # exactly (|raw| + 1) floats, asserted by benchmarks/multihost_scaling.py.
     step = shard_map(
         inner,
         mesh=mesh,
         in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     step = jax.jit(step)
     raw0 = model.get_raw_dict(free_only=True)

@@ -304,3 +304,28 @@ def test_ep_site_serialization_resume():
     p1, v1 = m2.predict(X)
     np.testing.assert_allclose(p0, p1, rtol=1e-8)
     np.testing.assert_allclose(v0, v1, rtol=1e-8)
+
+
+def test_laplace_psd_chol_path_matches_lu():
+    """Log-concave likelihoods route Newton through chol(B); must match the
+    general LU path to machine precision (value, gradient, prediction)."""
+    from gpy_tpu.core.gp import GP
+    from gpy_tpu.inference.laplace import Laplace
+    from gpy_tpu.kern import RBF
+    from gpy_tpu.likelihoods import Bernoulli
+
+    rng = np.random.default_rng(7)
+    n = 80
+    X = rng.standard_normal((n, 2))
+    Y = (X[:, :1] + 0.3 * rng.standard_normal((n, 1)) > 0).astype(float)
+    m_lu = GP(X, Y, RBF(2), Bernoulli(), inference_method=Laplace(psd_W=False))
+    m_ch = GP(X, Y, RBF(2), Bernoulli(), inference_method=Laplace(psd_W=True))
+    # auto-detection picks the chol path for Bernoulli (log_concave = True)
+    assert Laplace()._psd(Bernoulli()) is True
+    np.testing.assert_allclose(float(m_lu.log_likelihood()),
+                               float(m_ch.log_likelihood()), rtol=1e-12)
+    np.testing.assert_allclose(m_lu.objective_function_gradients(),
+                               m_ch.objective_function_gradients(), atol=1e-7)
+    p_lu, _ = m_lu.predict(X[:6])
+    p_ch, _ = m_ch.predict(X[:6])
+    np.testing.assert_allclose(p_lu, p_ch, atol=1e-10)
