@@ -73,29 +73,40 @@ def _exact_inv_terms_bwd(res, cts):
     LiT = T(Li)
     Ky_bar = None
     YY_bar = None
+    # K^-1 = Li'Li is the one O(n^3) matmul of the NLML backward (2n^3 per
+    # batch element). The 'high' (3-pass bf16, ~1e-7 relative) chol-update
+    # policy halves its MXU time vs ambient HIGHEST — same error class as
+    # the blocked-chol trailing updates, invisible at gradient tolerances.
+    from ..ops.blocked_linalg import CHOL_UPDATE_PREC as _PREC
 
     def acc(a, b):
         return b if a is None else a + b
+    sym = True  # every accumulated contribution so far is symmetric
     if not _symz(g_quad):
         Ky_bar = acc(Ky_bar, -g_quad * (alpha @ T(alpha)))
         YY_bar = acc(YY_bar, 2.0 * g_quad * alpha)
     if not _symz(g_logdet):
-        Ky_bar = acc(Ky_bar, g_logdet * (LiT @ Li))
+        Ky_bar = acc(Ky_bar, g_logdet * jnp.matmul(LiT, Li, precision=_PREC))
     if not _symz(g_alpha):
         w = LiT @ (Li @ g_alpha)  # K^-1 g_alpha
         Ky_bar = acc(Ky_bar, -(w @ T(alpha)))
         YY_bar = acc(YY_bar, w)
+        sym = False
     if not _symz(g_L):
         # cholesky pullback in matmul form (see util/linalg._chol_and_inv_bwd)
         P = jnp.tril(T(L) @ g_L)
         P = P - 0.5 * P * jnp.eye(L.shape[-1], dtype=L.dtype)
         Ky_bar = acc(Ky_bar, LiT @ P @ Li)
+        sym = False
     if Ky_bar is None:
         Ky_bar = jnp.zeros_like(L)
     if YY_bar is None:
         YY_bar = jnp.zeros_like(alpha)
-    # canonical symmetric cotangent (Ky is built symmetric)
-    Ky_bar = 0.5 * (Ky_bar + T(Ky_bar))
+    if not sym:
+        # canonical symmetric cotangent (Ky is built symmetric). Skipped on
+        # the NLML-only path where both contributions are already symmetric
+        # — the 0.5(K+K') transpose is a full (C, n, n) relayout on TPU.
+        Ky_bar = 0.5 * (Ky_bar + T(Ky_bar))
     return Ky_bar, YY_bar
 
 

@@ -18,10 +18,15 @@ set True for the mathematically exact posterior.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# vmapped chains per sequential group (see HMC.sample); 0 disables grouping
+_CHAIN_GROUP = int(os.environ.get("GPY_TPU_HMC_GROUP", "8"))
 
 __all__ = ["HMC", "HMC_shortcut", "Metropolis_Hastings"]
 
@@ -99,18 +104,30 @@ class HMC:
         def kernel(x, key, eps):
             k1, k2 = jax.random.split(key)
             p0 = Mc @ jax.random.normal(k1, x.shape, dtype=x.dtype)
-            glogp = jax.grad(logp)
+            vglogp = jax.value_and_grad(logp)
+
+            # Stoermer-Verlet with the gradient (and logp value) CARRIED:
+            # the end-of-step half-kick and the next step's start half-kick
+            # use the same gradient, so evaluating glogp twice per step (as
+            # the textbook per-step form writes it) doubles the dominant
+            # cost for bit-identical math. One value_and_grad per step, plus
+            # one at x0 — H0/H1 come from the carried values for free
+            # (22 -> 11 logp evaluations per proposal at num_leapfrog=10;
+            # measured 1.9x HMC samples/s on v5e-1).
+            v0, g0 = vglogp(x)
 
             def leapfrog(carry, _):
-                xx, pp = carry
-                pp = pp + 0.5 * eps * glogp(xx)
-                xx = xx + eps * (Minv @ pp)
-                pp = pp + 0.5 * eps * glogp(xx)
-                return (xx, pp), None
+                xx, pp, g, _v = carry
+                pp_half = pp + 0.5 * eps * g
+                xx2 = xx + eps * (Minv @ pp_half)
+                v2, g2 = vglogp(xx2)
+                pp2 = pp_half + 0.5 * eps * g2
+                return (xx2, pp2, g2, v2), None
 
-            (x_new, p_new), _ = lax.scan(leapfrog, (x, p0), None, length=eps_leapfrog)
-            H0 = -logp(x) + 0.5 * p0 @ Minv @ p0
-            H1 = -logp(x_new) + 0.5 * p_new @ Minv @ p_new
+            (x_new, p_new, _, v_new), _ = lax.scan(
+                leapfrog, (x, p0, g0, v0), None, length=eps_leapfrog)
+            H0 = -v0 + 0.5 * p0 @ Minv @ p0
+            H1 = -v_new + 0.5 * p_new @ Minv @ p_new
             # divergent trajectories (NaN/inf energy) are rejected
             diverged = ~(jnp.isfinite(H1) & jnp.all(jnp.isfinite(x_new)))
             log_accept = jnp.where(diverged, -jnp.inf, jnp.minimum(0.0, H0 - H1))
@@ -224,6 +241,35 @@ class HMC:
             axis = tuple(mesh.axis_names)
             ck = jax.device_put(ck, NamedSharding(mesh, P(axis)))
             ci = jax.device_put(ci, NamedSharding(mesh, P(axis)))
+        elif num_chains > _CHAIN_GROUP > 0:
+            # Past 8 chains the (C, n, n) VPU ops in the batched chol need a
+            # second sublane pass and Mosaic's codegen degrades superlinearly
+            # (measured n=1000: 16-chain leapfrog eval 2.5x the 8-chain one,
+            # so the 16-chain aggregate DROPPED below 8's). Running groups of
+            # 8 sequentially through the same compiled executable costs
+            # exactly 2x t(8) — per-chain keys/inits are sliced from the
+            # same arrays, so results are bit-identical to the monolithic
+            # vmap. GPY_TPU_HMC_GROUP overrides (0 disables).
+            g = _CHAIN_GROUP
+            xs_parts, acc_parts = [], []
+            for lo in range(0, num_chains, g):
+                hi = min(lo + g, num_chains)
+                gcfg = (int(num_samples), hi - lo, int(adapt_steps),
+                        float(target_accept), mesh_key, id(self.M),
+                        self.model.structure_version())
+                if gcfg not in cache:
+                    chain_g = self._build_chain(num_samples, adapt_steps,
+                                                target_accept)
+                    cache[gcfg] = jax.jit(jax.vmap(chain_g, in_axes=(0, 0, None)))
+                xg, ag = cache[gcfg](ck[lo:hi], ci[lo:hi], eps0)
+                xs_parts.append(xg)
+                acc_parts.append(ag)
+            xs = jnp.concatenate(xs_parts, 0)
+            accepts = jnp.concatenate(acc_parts, 0)
+            self._accept_rate = float(jnp.mean(accepts))
+            C, S, P = xs.shape
+            flat = self._to_constrained(np.asarray(xs).reshape(C * S, P))
+            return flat.reshape(C, S, P)
         xs, accepts = cache[cfg](ck, ci, eps0)
         self._accept_rate = float(jnp.mean(accepts))
         # constrain ALL chains in one pass: per-chain _to_constrained costs
@@ -320,26 +366,34 @@ class HMC_shortcut(HMC):
         def kernel(x, key, eps):
             k1, k2 = jax.random.split(key)
             p0 = Mc @ jax.random.normal(k1, x.shape, dtype=x.dtype)
-            glogp = jax.grad(logp)
-            H0 = -logp(x) + 0.5 * p0 @ Minv @ p0
+            vglogp = jax.value_and_grad(logp)
+            v0, g0 = vglogp(x)
+            H0 = -v0 + 0.5 * p0 @ Minv @ p0
 
+            # fused-kick leapfrog with carried (value, grad) — one
+            # value_and_grad per step instead of two grads + one value (the
+            # per-step H monitor reads the carried value); see HMC._hmc_kernel
             def leapfrog(carry, _):
-                xx, pp, frozen = carry
-                pp2 = pp + 0.5 * eps * glogp(xx)
-                xx2 = xx + eps * (Minv @ pp2)
-                pp2 = pp2 + 0.5 * eps * glogp(xx2)
-                H = -logp(xx2) + 0.5 * pp2 @ Minv @ pp2
+                xx, pp, g, v, frozen = carry
+                pp_half = pp + 0.5 * eps * g
+                xx2 = xx + eps * (Minv @ pp_half)
+                v2, g2 = vglogp(xx2)
+                pp2 = pp_half + 0.5 * eps * g2
+                H = -v2 + 0.5 * pp2 @ Minv @ pp2
                 # shortcut: freeze the trajectory once energy error explodes
                 bad = jnp.abs(H - H0) > hi
                 frozen2 = frozen | bad
                 xx_out = jnp.where(frozen2, xx, xx2)
                 pp_out = jnp.where(frozen2, pp, pp2)
-                return (xx_out, pp_out, frozen2), None
+                g_out = jnp.where(frozen2, g, g2)
+                v_out = jnp.where(frozen2, v, v2)
+                return (xx_out, pp_out, g_out, v_out, frozen2), None
 
-            (x_new, p_new, frozen), _ = lax.scan(
-                leapfrog, (x, p0, jnp.asarray(False)), None, length=self.num_leapfrog
+            (x_new, p_new, _, v_new, frozen), _ = lax.scan(
+                leapfrog, (x, p0, g0, v0, jnp.asarray(False)), None,
+                length=self.num_leapfrog
             )
-            H1 = -logp(x_new) + 0.5 * p_new @ Minv @ p_new
+            H1 = -v_new + 0.5 * p_new @ Minv @ p_new
             diverged = frozen | ~(jnp.isfinite(H1) & jnp.all(jnp.isfinite(x_new)))
             log_accept = jnp.where(diverged, -jnp.inf, jnp.minimum(0.0, H0 - H1))
             accept = jnp.log(jax.random.uniform(k2, dtype=x.dtype)) < log_accept

@@ -26,16 +26,29 @@ matmul-only, so this kernel is never differentiated.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
+from .blocked_linalg import CHOL_UPDATE_PREC
+
 __all__ = ["pallas_block_chol_inv", "pallas_block_chol",
            "pallas_batched_chol_inv", "pallas_chol_available"]
 
 _B = 128  # diagonal block size (MXU/VPU native tile width)
+
+
+def _mm(a, b):
+    """Glue matmul at the chol-update precision policy ('high' = 3-pass
+    bf16 ~ f32 accuracy by default; GPY_TPU_CHOL_UPDATE_PRECISION=highest
+    opts out). These are the same Schur/panel/inverse-assembly update
+    class as blocked_linalg's trailing updates (measured 2.5e-7 error =
+    pure reordering); at HIGHEST they were the largest cost of the batched
+    path (0.22 ms of 1.2 ms at C=8, n=1000)."""
+    return jnp.matmul(a, b, precision=CHOL_UPDATE_PREC)
 
 
 def pallas_chol_available(K=None, backend=None) -> bool:
@@ -144,14 +157,18 @@ def _block_kernel_v2(a_ref, lt_ref, at_ref):
             upd = jnp.where(subl8 > t, lcol, f0) * lrow
             R = jnp.where(subl8 == t, lrow, R - upd)
         lt_ref[:, base:base + _PW, :] = R
-        # rank-8 trailing update, no masks (dead rows/lanes never read)
+        # rank-8 trailing update, no masks (dead rows/lanes never read).
+        # ONE batched MXU dot over the whole C batch: Mosaic lowers
+        # dot_general with leading batch dims at full HIGHEST precision
+        # (verified vs f64 to 2e-6) — the per-element python loop this
+        # replaces serialized C tiny dots per panel and made v2 lose to
+        # v1 at C>=16 (the round-3 wiring's crossover).
         if p + 1 < npan:
-            for c in range(C):
-                upd = lax.dot_general(
-                    R[c], R[c], (((0,), (0,)), ((), ())),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)          # (128,128)
-                at_ref[c, :, :] = at_ref[c, :, :] - upd
+            upd = lax.dot_general(
+                R, R, (((1,), (1,)), ((0,), (0,))),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)              # (C,128,128)
+            at_ref[:] = at_ref[:] - upd
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -172,19 +189,49 @@ def pallas_block_chol_inv(A, interpret=False):
     return jnp.swapaxes(out[0], -1, -2), out[1]
 
 
+_KSTYLE = os.environ.get("GPY_TPU_CHOL_KERNEL_STYLE", "outbuf")
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_block_chol(A, interpret=False):
-    """L = chol(A) for a (C, 128, 128) batch — panelized v2 kernel."""
+    """L = chol(A) for a (C, 128, 128) batch — panelized v2 kernel.
+
+    The working buffer is an OUTPUT, not scratch (default style 'outbuf'):
+    Mosaic cannot double-buffer scratch across grid steps and allocates it
+    more conservatively; writing the trailing matrix to a second (dead)
+    output measured consistently faster at C<=8 (5.8-15 vs 21-50 us per
+    call) and never slower. Batches larger than 8 that divide evenly run
+    as a grid over 8-element slabs, keeping each step's VPU ops one
+    sublane group wide. GPY_TPU_CHOL_KERNEL_STYLE=scratch reverts."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C, n, _ = A.shape
+    if C > 8 and C % 8 == 0:
+        g, cb = C // 8, 8
+    else:
+        g, cb = 1, C
+    if _KSTYLE == "outbuf":
+        out = pl.pallas_call(
+            _block_kernel_v2,
+            grid=(g,),
+            out_shape=[jax.ShapeDtypeStruct((C, n, n), jnp.float32)] * 2,
+            in_specs=[pl.BlockSpec((cb, n, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((cb, n, n), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)] * 2,
+            interpret=interpret,
+        )(A.astype(jnp.float32))
+        return jnp.swapaxes(out[0], -1, -2)
     out = pl.pallas_call(
         _block_kernel_v2,
+        grid=(g,),
         out_shape=jax.ShapeDtypeStruct((C, n, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((C, n, n), jnp.float32)],
+        in_specs=[pl.BlockSpec((cb, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((cb, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((cb, n, n), jnp.float32)],
         interpret=interpret,
     )(A.astype(jnp.float32))
     return jnp.swapaxes(out, -1, -2)
@@ -200,8 +247,8 @@ def _tri8_inv_batched(Ld):
     A1 = Ld / d[..., :, None]                       # I + N~ (row-normalized)
     eye = jnp.eye(_PW, dtype=Ld.dtype)
     N = A1 - eye
-    N2 = N @ N
-    Minv = (eye - N) @ (eye + N2) @ (eye + N2 @ N2)
+    N2 = _mm(N, N)
+    Minv = _mm(_mm(eye - N, eye + N2), eye + _mm(N2, N2))
     return Minv / d[..., None, :]                   # right-scale by 1/d
 
 
@@ -220,7 +267,7 @@ def _tri_inv_128(Lb):
         B = d2[..., s:, :s]                         # (..., nb/2, s, s)
         Ai = inv[..., 0::2, :, :]
         Ci = inv[..., 1::2, :, :]
-        low = -(Ci @ (B @ Ai))
+        low = -_mm(Ci, _mm(B, Ai))
         z = jnp.zeros_like(low)
         inv = jnp.concatenate([
             jnp.concatenate([Ai, z], -1),
@@ -272,13 +319,13 @@ def pallas_batched_chol_inv(K, interpret=False, version=2, block=None):
             Ljj, Dinv = pallas_block_chol_inv(Ablk, interpret=interpret)
         dinvs.append(Dinv)
         below = A[:, _Bv:, :_Bv]                    # (C, rem, B)
-        P = below @ T(Dinv)                       # panel: L[i>j, j]
+        P = _mm(below, T(Dinv))                   # panel: L[i>j, j]
         col = jnp.concatenate(
             [jnp.zeros((C, j * _Bv, _Bv), K.dtype), Ljj, P], 1)
         col_blocks.append(col)
         rem = A.shape[1] - _Bv
         if rem:
-            A = A[:, _Bv:, _Bv:] - P @ T(P)
+            A = A[:, _Bv:, _Bv:] - _mm(P, T(P))
         else:
             A = A[:, _Bv:, _Bv:]
     L = jnp.concatenate(col_blocks, -1)
@@ -293,7 +340,7 @@ def pallas_batched_chol_inv(K, interpret=False, version=2, block=None):
             Ai, sa, oa = items[p]
             Ci, sc, oc = items[p + 1]
             Bblk = L[:, oc:oc + sc, oa:oa + sa]
-            low = -Ci @ (Bblk @ Ai)
+            low = -_mm(Ci, _mm(Bblk, Ai))
             comb = jnp.concatenate([
                 jnp.concatenate([Ai, jnp.zeros((C, sa, sc), K.dtype)], -1),
                 jnp.concatenate([low, Ci], -1)], -2)

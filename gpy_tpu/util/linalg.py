@@ -106,9 +106,11 @@ def _batched_chol_inv(K):
             n_batch *= b
         if (config.use_pallas and n_batch <= 64
                 and pallas_chol_available(K)):
-            # measured at n=1000: v2 (panelized) wins to C<=8, v1 (column
-            # loop) wins beyond (v2's per-element trailing dots scale with C)
-            return pallas_batched_chol_inv(K, version=2 if n_batch <= 8 else 1)
+            # v2 (panelized, batched trailing dot, gridded kernel at C>8)
+            # is best-or-tied at every batch count since the round-4 rework
+            # (C=8 n=1000: 0.91 ms vs v1 1.0; C=16: 2.11 vs 2.10; C=32 no
+            # longer OOMs VMEM thanks to the 8-slab grid)
+            return pallas_batched_chol_inv(K, version=2)
         return rec_chol_inv(K)
     L = jnp.linalg.cholesky(K)
     eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
