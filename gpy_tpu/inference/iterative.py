@@ -323,10 +323,9 @@ class IterativeGaussianInference(LatentFunctionInference):
 
             K_sg, P = gram_materialize(k_sg, lax.stop_gradient(X),
                                        noise=lax.stop_gradient(noise),
-                                       block=self.block)
+                                       block=self.block,
+                                       out_dtype=self.gram_dtype)
             K_sg = lax.stop_gradient(K_sg)
-            if self.gram_dtype is not None:
-                K_sg = K_sg.astype(self.gram_dtype)
             pad = P - N
 
             def mv_sg(V):
@@ -337,7 +336,14 @@ class IterativeGaussianInference(LatentFunctionInference):
                         K_sg, Vp.astype(K_sg.dtype), (((1,), (0,)), ((), ())),
                         preferred_element_type=V.dtype)
                     return out[:N]
-                return (K_sg @ Vp)[:N]
+                # 'high' (3-pass bf16 ~ f32 accuracy): the D+n_probes RHS
+                # pad to 128 MXU lanes, and at ambient HIGHEST (6-pass) the
+                # padded compute (~19.5 ms/sweep at N=50k) EXCEEDS the 10GB
+                # HBM stream (~12.5 ms) that should bound the sweep. This
+                # matvec only drives the stop-gradient CG solve + SLQ; its
+                # 1e-7-class error is far below the m=48 quadrature
+                # truncation (0.13%) and the f32 CG stagnation floor.
+                return jnp.matmul(K_sg, Vp, precision="high")[:N]
         else:
             def mv_sg(V):
                 return gram_matvec(k_sg, lax.stop_gradient(X), V,

@@ -70,15 +70,19 @@ class Stationary(Kern):
         """
         ls = jnp.asarray(self.lengthscale)
         Xs = X / ls
-        if Xs.shape[-1] <= 8 and Xs.ndim == 2 and X2 is None:
-            # SQUARE grams at shallow D: direct per-dim squared differences —
-            # exact f32 (no expansion cancellation, no clamp, exact-zero
-            # diagonal) and FASTER than the 6-pass MXU expansion (0.33 vs
-            # 0.69 ms at N=8192 D=8 — the gram becomes exp-bound).
-            # Rectangular (Knm) grams keep the MXU expansion: the SVGP step
-            # measured faster with the matmul form (narrow-M VPU broadcasts
-            # plus their VJPs cost more than the cross dot).
-            X2s = Xs
+        if (Xs.shape[-1] <= 8 and Xs.ndim == 2
+                and (X2 is None
+                     or (X2.ndim == 2 and min(Xs.shape[0], X2.shape[0]) >= 1024))):
+            # Grams at shallow D with both sides large: direct per-dim
+            # squared differences — exact f32 (no expansion cancellation, no
+            # clamp, exact-zero diagonal when square) and FASTER than the
+            # 6-pass MXU expansion (square: 0.33 vs 0.69 ms at N=8192 D=8;
+            # rectangular 2048x50k blocks: the gram_materialize build went
+            # 54 -> ~40 ms at N=50k D=4). NARROW rectangular (Knm) grams
+            # keep the MXU expansion: the SVGP step (M=512) measured faster
+            # with the matmul form (narrow-M VPU broadcasts plus their VJPs
+            # cost more than the cross dot) — hence the min-dim >= 1024 gate.
+            X2s = Xs if X2 is None else X2 / ls
             r2 = (Xs[:, 0:1] - X2s[None, :, 0]) ** 2
             for d in range(1, Xs.shape[-1]):
                 r2 = r2 + (Xs[:, d:d + 1] - X2s[None, :, d]) ** 2
