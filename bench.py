@@ -140,6 +140,7 @@ def measure_linalg_tfs(jax, jnp):
     kernel-Gram TF/s at N=4096/8192 via scan-chained two-length differencing
     (which cancels the dispatch floor — no explicit subtraction needed)."""
     from gpy_tpu.util.linalg import jitchol
+    from gpy_tpu.ops.blocked_linalg import rec_cholesky, CHOL_UPDATE_PREC
     import gpy_tpu.kern as gk
 
     out = {}
@@ -159,31 +160,40 @@ def measure_linalg_tfs(jax, jnp):
         # (t10 - t2)/8: a single 4096 chol (~0.4ms) is below the dispatch
         # floor's resolution — one-shot timing returned garbage TF/s
 
-        def chol_chain(k_len):
+        # the TF/s claim times the KERNEL (rec_cholesky at the default
+        # 'high' trailing-update policy — exactly what cholesky_auto runs);
+        # jitchol's number is kept separately because its safety ladder adds
+        # an n^2 finite-check + cond per call, which is user-path overhead,
+        # not factorization speed (this was the r3 driver-19.6 vs
+        # standalone-23.7 "discrepancy": two different functions)
+        def chol_chain(k_len, fn):
             @jax.jit
             def run(A, s):
                 def body(c, _):
                     Av = A + (s + c * 1e-20)
                     K = Av @ Av.T + n * jnp.eye(n, dtype=A.dtype)
-                    return jnp.sum(jitchol(K)) * 1e-9, ()
+                    return jnp.sum(fn(K)) * 1e-9, ()
 
                 c, _ = jax.lax.scan(body, s * 0.0, None, length=k_len)
                 return c
 
             return run
 
-        f2, f10 = chol_chain(2), chol_chain(10)
-        for f in (f2, f10):
-            float(f(A, jnp.float32(0.0)))
-            float(f(A, jnp.float32(1e-3)))
-        t2 = min(_timed_scalar(f, A, 1e-3 * i) for i, f in
-                 [(2, f2), (3, f2), (4, f2)])
-        t10 = min(_timed_scalar(f, A, 1e-3 * i) for i, f in
-                  [(5, f10), (6, f10), (7, f10)])
-        t = max((t10 - t2) / 8.0, 1e-6)
-        tfs = (n**3 / 3.0 + flops_build) / t / 1e12
-        out[f"chol{n}_tfs"] = round(tfs, 2)
-        out[f"chol{n}_ms"] = round(t * 1e3, 2)
+        rc = lambda K: rec_cholesky(K, prec=CHOL_UPDATE_PREC)  # noqa: E731
+        for label, fn in (("", rc), ("_ladder", jitchol)):
+            f2, f10 = chol_chain(2, fn), chol_chain(10, fn)
+            for f in (f2, f10):
+                float(f(A, jnp.float32(0.0)))
+                float(f(A, jnp.float32(1e-3)))
+            t2 = min(_timed_scalar(f, A, 1e-3 * i) for i, f in
+                     [(2, f2), (3, f2), (4, f2)])
+            t10 = min(_timed_scalar(f, A, 1e-3 * i) for i, f in
+                      [(5, f10), (6, f10), (7, f10)])
+            t = max((t10 - t2) / 8.0, 1e-6)
+            if label == "":
+                tfs = (n**3 / 3.0 + flops_build) / t / 1e12
+                out[f"chol{n}_tfs"] = round(tfs, 2)
+            out[f"chol{n}{label}_ms"] = round(t * 1e3, 2)
 
         # --- RBF Gram (distance + exp; flops counted as the matmul part:
         # 2 N^2 D for the cross-term — the roofline-relevant MXU work; the
@@ -299,7 +309,7 @@ def main():
 
     try:
         signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(180)
+        signal.alarm(420)
         from gpy_tpu.models import GPRegression
 
         n_exact = 4096
@@ -324,6 +334,55 @@ def main():
             ts.append(time.perf_counter() - t0)
         ts = ts[1:]  # first fresh-args exec pays the one-time ~20ms warmup
         record(extra, "exact_nlml_grad_ms_n4096", ts)
+
+        # N=8192 one-shot AND chain-differenced (the latter removes the
+        # ~24ms dispatch floor and shows the pure on-device NLML+grad —
+        # the number the blocked chol + inverse-leaf dtrtrs work moves)
+        n8 = 8192
+        X8 = rng.random((n8, 8)).astype(np.float32) * 4.0
+        Y8 = (np.sin(X8[:, :1]) + 0.1 * rng.standard_normal((n8, 1))).astype(np.float32)
+        import gpy_tpu.kern as _gk8
+        m8 = GPRegression(X8, Y8, _gk8.RBF(8, ARD=True), noise_var=0.1)
+        og8 = m8._get_objgrad()
+        flat8 = np.asarray(m8.get_flat_raw())
+        jax.device_get(og8(jnp.asarray(flat8)))
+        jax.device_get(og8(jnp.asarray(flat8 * 1.0001)))
+        ts8 = []
+        for i in range(2, 5):
+            t0 = time.perf_counter()
+            jax.device_get(og8(jnp.asarray(flat8 + 1e-4 * i)))
+            ts8.append(time.perf_counter() - t0)
+        record(extra, "exact_nlml_grad_ms_n8192", ts8)
+
+        loss8 = m8._flat_objective
+        vg8 = jax.value_and_grad(loss8)
+
+        def e8_chain(k_len):
+            @jax.jit
+            def run(f0, s):
+                def body(c, _):
+                    th, acc = c
+                    v, g = vg8(th)
+                    return (th + 1e-7 * s * g / (1.0 + jnp.abs(g)),
+                            acc + v * 1e-9), ()
+
+                (_, acc), _ = jax.lax.scan(body, (f0, s * 0.0), None,
+                                           length=k_len)
+                return acc
+
+            return run
+
+        c2, c6 = e8_chain(2), e8_chain(6)
+        f8j = jnp.asarray(flat8)
+        for f in (c2, c6):
+            float(f(f8j, jnp.float32(1.0)))
+            float(f(f8j, jnp.float32(2.0)))
+        t2 = min(_timed_scalar(f, f8j, float(i)) for i, f in
+                 [(3, c2), (4, c2), (5, c2)])
+        t6 = min(_timed_scalar(f, f8j, float(i)) for i, f in
+                 [(6, c6), (7, c6), (8, c6)])
+        extra["exact_nlml_grad_ms_n8192_chain"] = round(
+            max(t6 - t2, 1e-9) / 4.0 * 1e3, 2)
     except Exception as e:  # pragma: no cover
         extra["exact_nlml_grad_error"] = str(e)[:100]
     finally:

@@ -237,44 +237,10 @@ def pallas_block_chol(A, interpret=False):
     return jnp.swapaxes(out, -1, -2)
 
 
-def _tri8_inv_batched(Ld):
-    """Exact inverse of lower-triangular (..., 8, 8) blocks, vectorized.
-
-    Lp = diag(d)(I + N~) with N~ strictly lower => N~^8 = 0, so
-    (I + N~)^-1 = (I - N~)(I + N~^2)(I + N~^4) EXACTLY — three batched
-    matmuls, no per-element native trsm (which serializes on TPU)."""
-    d = jnp.diagonal(Ld, axis1=-2, axis2=-1)
-    A1 = Ld / d[..., :, None]                       # I + N~ (row-normalized)
-    eye = jnp.eye(_PW, dtype=Ld.dtype)
-    N = A1 - eye
-    N2 = _mm(N, N)
-    Minv = _mm(_mm(eye - N, eye + N2), eye + _mm(N2, N2))
-    return Minv / d[..., None, :]                   # right-scale by 1/d
-
-
-def _tri_inv_128(Lb):
-    """Inverse of lower-triangular (..., 128, 128) blocks via 8x8 nilpotent
-    leaf inverses + stacked pairwise doubling — batched matmuls only."""
-    *batch, n, _ = Lb.shape
-    nb = n // _PW
-    V = Lb.reshape(*batch, nb, _PW, nb, _PW)
-    D8 = jnp.moveaxis(jnp.diagonal(V, axis1=-4, axis2=-2), -1, -3)
-    inv = _tri8_inv_batched(D8)                     # (..., nb, 8, 8)
-    s = _PW
-    while nb > 1:
-        V = Lb.reshape(*batch, nb // 2, 2 * s, nb // 2, 2 * s)
-        d2 = jnp.moveaxis(jnp.diagonal(V, axis1=-4, axis2=-2), -1, -3)
-        B = d2[..., s:, :s]                         # (..., nb/2, s, s)
-        Ai = inv[..., 0::2, :, :]
-        Ci = inv[..., 1::2, :, :]
-        low = -_mm(Ci, _mm(B, Ai))
-        z = jnp.zeros_like(low)
-        inv = jnp.concatenate([
-            jnp.concatenate([Ai, z], -1),
-            jnp.concatenate([low, Ci], -1)], -2)
-        nb //= 2
-        s *= 2
-    return inv[..., 0, :, :]
+# tri-inverse primitives now live in blocked_linalg (shared with the
+# inverse-leaf trsm forms); keep the local names for existing callers
+from .blocked_linalg import tri8_inv_batched as _tri8_inv_batched  # noqa: E402
+from .blocked_linalg import tri_inv_doubling as _tri_inv_128  # noqa: E402
 
 
 def pallas_batched_chol_inv(K, interpret=False, version=2, block=None):
