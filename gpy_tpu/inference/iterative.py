@@ -207,8 +207,15 @@ class IterativeGaussianInference(LatentFunctionInference):
         # exp-bound blockwise Gram max_cg times — ~3x at N=50k on one chip.
         # "auto" materializes while the f32 (N, N) fits comfortably in HBM
         # (50k rows = 10GB measured OK on a 16GB v5e incl. build transients);
-        # the differentiable surrogate pass still streams (O(block*N) memory).
+        # with gram_dtype="bfloat16" the same budget covers ~sqrt(2)x the
+        # rows (70k = 9.8GB), so the auto cap scales by the dtype — exact
+        # GPs to ~70k rows stay on the dense-stream path instead of falling
+        # to the ~2-4x-slower fused/blockwise matvec. The differentiable
+        # surrogate pass still streams (O(block*N) memory).
         self.materialize = materialize
+        if (materialize_max_n == 50_000 and gram_dtype is not None
+                and jnp.dtype(gram_dtype).itemsize <= 2):
+            materialize_max_n = 70_000
         self.materialize_max_n = materialize_max_n
         # gram_dtype="bfloat16": store the materialized Gram half-width and
         # run CG matvecs with f32 accumulation — 1.7x on the solve (HBM
