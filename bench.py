@@ -354,6 +354,16 @@ def main():
             ts8.append(time.perf_counter() - t0)
         record(extra, "exact_nlml_grad_ms_n8192", ts8)
 
+    except Exception as e:  # pragma: no cover
+        extra["exact_nlml_grad_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
+    # chain-differenced 8192 NLML+grad gets its OWN alarm budget: the two
+    # chained executables are the biggest compiles of the bench and starved
+    # the shared 420s window on the first r4 run
+    try:
+        signal.alarm(420)
         loss8 = m8._flat_objective
         vg8 = jax.value_and_grad(loss8)
 
@@ -372,19 +382,19 @@ def main():
 
             return run
 
-        c2, c6 = e8_chain(2), e8_chain(6)
+        c1, c3 = e8_chain(1), e8_chain(3)
         f8j = jnp.asarray(flat8)
-        for f in (c2, c6):
+        for f in (c1, c3):
             float(f(f8j, jnp.float32(1.0)))
             float(f(f8j, jnp.float32(2.0)))
-        t2 = min(_timed_scalar(f, f8j, float(i)) for i, f in
-                 [(3, c2), (4, c2), (5, c2)])
-        t6 = min(_timed_scalar(f, f8j, float(i)) for i, f in
-                 [(6, c6), (7, c6), (8, c6)])
+        t1 = min(_timed_scalar(f, f8j, float(i)) for i, f in
+                 [(3, c1), (4, c1), (5, c1)])
+        t3 = min(_timed_scalar(f, f8j, float(i)) for i, f in
+                 [(6, c3), (7, c3), (8, c3)])
         extra["exact_nlml_grad_ms_n8192_chain"] = round(
-            max(t6 - t2, 1e-9) / 4.0 * 1e3, 2)
+            max(t3 - t1, 1e-9) / 2.0 * 1e3, 2)
     except Exception as e:  # pragma: no cover
-        extra["exact_nlml_grad_error"] = str(e)[:100]
+        extra["exact_nlml_grad_chain_error"] = str(e)[:100]
     finally:
         signal.alarm(0)
 
