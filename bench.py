@@ -474,6 +474,36 @@ def main():
     finally:
         signal.alarm(0)
 
+    # --- extra: collapsed sparse GP regression (BASELINE config #2:
+    # VarDTC / FITC at N~50k) -----------------------------------------------
+    try:
+        signal.alarm(300)
+        print("bench: sparse vardtc/fitc extra...", file=sys.stderr, flush=True)
+        from gpy_tpu.models import SparseGPRegression
+
+        n_sp, m_sp = 50_000, 512
+        Xsp = rng.random((n_sp, D)).astype(np.float32) * 4.0
+        Ysp = (np.sin(Xsp[:, :1])
+               + 0.1 * rng.standard_normal((n_sp, 1))).astype(np.float32)
+        Zsp = Xsp[rng.permutation(n_sp)[:m_sp]].copy()
+        for infer in ("vardtc", "fitc"):
+            msp = SparseGPRegression(Xsp, Ysp, gk.RBF(D, ARD=True), Z=Zsp,
+                                     infer=infer)
+            ogs = msp._get_objgrad()
+            fls = np.asarray(msp.get_flat_raw())
+            jax.device_get(ogs(jnp.asarray(fls)))
+            jax.device_get(ogs(jnp.asarray(fls * 1.0001)))
+            ts = []
+            for i in range(2, 5):
+                t0 = time.perf_counter()
+                jax.device_get(ogs(jnp.asarray(fls + 1e-4 * i)))
+                ts.append(time.perf_counter() - t0)
+            record(extra, f"{infer}_nlml_grad_ms_n50k_m512", ts)
+    except Exception as e:  # pragma: no cover
+        extra["sparse_error"] = str(e)[:100]
+    finally:
+        signal.alarm(0)
+
     # --- extra: SVGP at N=10M on one chip (BASELINE config #4 scale axis;
     # dataset is passed to the compiled chunk as an argument, never a
     # captured constant) ----------------------------------------------------
