@@ -38,10 +38,14 @@ __all__ = [
     "BATCHED_REC_LEAF",
 ]
 
-# Below this size the XLA native ops win (no recursion overhead); measured
-# crossover on v5e-1 is ~2-4k: at N=4096 blocked NLML val+grad beats native
-# by ~10ms. CPU tests only ever exercise the leaf path.
-REC_CHOL_MIN_N = 4095
+# Below this size the XLA native ops win (no recursion overhead). Measured
+# crossover on v5e-1 (round 4, NLML+grad chain protocol): n=2048 native
+# 2.78 vs blocked 2.43 ms; n=4000 native 19.8 vs blocked 7.5 ms (native
+# chol/trsm degrade sharply past ~2k, especially at non-128-multiple
+# shapes). Threshold applies on TPU ONLY — on CPU the native ops are
+# LAPACK-class and always win, so the auto dispatchers pin them there
+# (CPU tests exercise the recursive forms explicitly).
+REC_CHOL_MIN_N = 2047
 _LEAF = 512  # leaf sweep 2026-08-21: 512 beats 1024/2048 at n=8192
 
 # Precision of the Schur/trailing-update matmuls inside the blocked chol
@@ -308,10 +312,16 @@ def rec_chol_inv(A, leaf=BATCHED_REC_LEAF):
     return L, Li
 
 
+def _auto_min_n(min_n):
+    if min_n is not None:
+        return min_n
+    return REC_CHOL_MIN_N if jax.default_backend() == "tpu" else (1 << 30)
+
+
 def solve_lower_auto(L, B, trans=False, leaf=_LEAF, min_n=None, min_rhs=512):
     """Triangular solve that switches to the recursive blocked form when both
     the system and the right-hand side are large enough for matmuls to pay."""
-    min_n = REC_CHOL_MIN_N if min_n is None else min_n
+    min_n = _auto_min_n(min_n)
     big = (
         L.ndim == 2
         and B.ndim == 2
@@ -332,7 +342,7 @@ def cholesky_auto(A, leaf=_LEAF, min_n=None):
     Only square 2-D inputs take the blocked path (batched cholesky stays
     on the native op).
     """
-    min_n = REC_CHOL_MIN_N if min_n is None else min_n
+    min_n = _auto_min_n(min_n)
     if A.ndim == 2 and A.shape[0] > min_n:
         return rec_cholesky(A, leaf, prec=CHOL_UPDATE_PREC)
     return jnp.linalg.cholesky(A)
