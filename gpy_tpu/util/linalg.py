@@ -106,10 +106,31 @@ def _batched_chol_inv(K):
             n_batch *= b
         if (config.use_pallas and n_batch <= 64
                 and pallas_chol_available(K)):
-            # v2 (panelized, batched trailing dot, gridded kernel at C>8)
-            # is best-or-tied at every batch count since the round-4 rework
-            # (C=8 n=1000: 0.91 ms vs v1 1.0; C=16: 2.11 vs 2.10; C=32 no
-            # longer OOMs VMEM thanks to the 8-slab grid)
+            # v2 (panelized, batched trailing dot, gridded kernel) wins to
+            # C<=8; past that the 2x2 recursion with v1 (chol+inverse)
+            # leaves wins (C=16 n=1000: 1.92 vs 2.14 ms — it carries leaf
+            # inverses up instead of 8 sequential tri_inv stacks), when the
+            # power-of-two padding it needs is not too wasteful
+            from ..ops.pallas_chol import (rec_pallas_chol_inv,
+                                           _next_pow2_128)
+
+            p = _next_pow2_128(n)
+            if n_batch > 8 and p <= 1.3 * n:
+                pad = p - n
+                if pad:
+                    batch = K.shape[:-2]
+                    eye_pad = jnp.broadcast_to(
+                        jnp.eye(pad, dtype=K.dtype), (*batch, pad, pad))
+                    Kp = jnp.concatenate([
+                        jnp.concatenate(
+                            [K, jnp.zeros((*batch, n, pad), K.dtype)], -1),
+                        jnp.concatenate(
+                            [jnp.zeros((*batch, pad, n), K.dtype), eye_pad],
+                            -1)], -2)
+                else:
+                    Kp = K
+                L, Li = rec_pallas_chol_inv(Kp)
+                return L[..., :n, :n], Li[..., :n, :n]
             return pallas_batched_chol_inv(K, version=2)
         return rec_chol_inv(K)
     L = jnp.linalg.cholesky(K)
