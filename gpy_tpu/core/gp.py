@@ -100,14 +100,56 @@ class GP(Model):
         cache = self.__dict__.get("_posterior_cache")
         if cache is not None and cache[0] == fp:
             return cache[1]
-        post, _ = self.inference_method.inference(
-            self.kern, self.X, self.likelihood, self.Y_normalized, self.mean_function, self.Y_metadata
-        )
+        post = self._compute_posterior()
         self.__dict__["_posterior_cache"] = (fp, post)
+        return post
+
+    def _compute_posterior(self):
+        """Posterior at the current parameters.
+
+        For plain exact-Gaussian inference the whole computation runs as
+        ONE cached jitted program (hyperparameters and data as arguments):
+        running it eagerly costs a per-op compile + ~24ms tunnel dispatch
+        per operation on TPU, which made the first predict after every
+        optimize() seconds-slow. Other inference methods (EP site loops
+        with host-side persistence, Laplace, iterative) keep the eager
+        path — their inference() implementations manage their own
+        compiled internals.
+        """
+        from ..inference.exact import ExactGaussianInference
+        from ..inference.posterior import Posterior as _WPost
+
+        # uncertain-input X is a variational posterior (has .variance;
+        # plain np/jnp arrays have .mean but no .variance attribute)
+        if (type(self.inference_method) is ExactGaussianInference
+                and not hasattr(self.X, "variance")):
+            key = ("postexec", self.structure_version(), self._data_version(),
+                   tuple(np.shape(self.X)))
+            ecache = self.__dict__.setdefault("_posterior_exec_cache", {})
+            fn = ecache.get(key)
+            if fn is None:
+                def _fn(fl, X, Y):
+                    mod = self.with_flat_raw(fl)
+                    p, _ = self.inference_method.inference(
+                        mod.kern, X, mod.likelihood, Y,
+                        mod.mean_function, self.Y_metadata)
+                    return p._woodbury_chol, p._woodbury_vector, p._K
+
+                fn = jax.jit(_fn)
+                ecache[key] = fn
+            L, alpha, K = fn(jnp.asarray(self.get_flat_raw()),
+                             jnp.asarray(self.X),
+                             jnp.asarray(self.Y_normalized))
+            return _WPost(woodbury_chol=L, woodbury_vector=alpha, K=K)
+        post, _ = self.inference_method.inference(
+            self.kern, self.X, self.likelihood, self.Y_normalized,
+            self.mean_function, self.Y_metadata
+        )
         return post
 
     # --- prediction --------------------------------------------------------
     def _raw_predict(self, Xnew, full_cov=False, kern=None):
+        kern_arg = kern
         kern = kern or self.kern
         if hasattr(Xnew, "mean") and hasattr(Xnew, "variance"):
             # uncertain inputs: Xnew is a variational posterior q(X*)
@@ -116,10 +158,46 @@ class GP(Model):
             # input have no closed-form expectation here, matching GPy.
             return self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
         Xnew = jnp.asarray(np.asarray(Xnew, dtype=float), dtype=self.X.dtype)
-        mu, var = self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
-        if self.mean_function is not None:
-            mu = mu + self.mean_function.f(Xnew)
-        return mu, var
+        post = self.posterior
+        from ..inference.posterior import Posterior as _WPost
+
+        # One jitted executable per (shape, full_cov, posterior form),
+        # cached on the model: running the prediction math eagerly costs a
+        # per-op compile + ~24ms tunnel dispatch PER OPERATION on TPU
+        # (measured: 33s cold / 0.1s warm for one 256-point ARD predict —
+        # dozens of one-op programs). Hyperparameters and the woodbury
+        # arrays enter as ARGUMENTS, so re-optimizing the model re-uses
+        # the same executable.
+        jittable = (isinstance(post, _WPost)
+                    and type(post)._raw_predict is _WPost._raw_predict)
+        if not jittable:
+            mu, var = post._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
+            if self.mean_function is not None:
+                mu = mu + self.mean_function.f(Xnew)
+            return mu, var
+        wv, wi, wc = post.woodbury_vector, post._woodbury_inv, post._woodbury_chol
+        key = ("rawpred", Xnew.shape, str(Xnew.dtype), bool(full_cov),
+               None if kern_arg is None else id(kern_arg),
+               self.structure_version(),
+               (wv is None, wi is None, wc is None),
+               self.mean_function is not None)
+        cache = self.__dict__.setdefault("_predict_exec_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            def _fn(fl, Xn, pv, wv, wi, wc):
+                mod = self.with_flat_raw(fl)
+                k = kern_arg if kern_arg is not None else mod.kern
+                p = _WPost(woodbury_vector=wv, woodbury_inv=wi,
+                           woodbury_chol=wc)
+                mu, var = p._raw_predict(k, Xn, pv, full_cov)
+                if mod.mean_function is not None:
+                    mu = mu + mod.mean_function.f(Xn)
+                return mu, var
+
+            fn = jax.jit(_fn)
+            cache[key] = fn
+        return fn(jnp.asarray(self.get_flat_raw()), Xnew,
+                  jnp.asarray(self._predictive_variable), wv, wi, wc)
 
     def predict(self, Xnew, full_cov=False, Y_metadata=None, kern=None, likelihood=None,
                 include_likelihood=True):

@@ -61,6 +61,28 @@ def symbolic_laplace_regression(n=60, optimize=True, plot=False):
     return m
 
 
+def big_data_svgp(n=200_000, optimize=True, plot=False):
+    """SVGP at large N with shuffled-window minibatching: fit() pre-shuffles
+    the dataset once on device and draws contiguous windows per step
+    (batch_mode='auto' switches this on from 2^20 rows — a random index
+    gather costs ~12 ns per gathered element on TPU regardless of index
+    locality, ~0.44 ms/step at N=10M, while the contiguous slice is free).
+    Shown here with batch_mode forced on so the demo is fast at 200k."""
+    from ..core.svgp import SVGP
+    from ..likelihoods import Gaussian
+
+    rng = np.random.default_rng(3)
+    X = (rng.random((n, 4)) * 4.0).astype(np.float32)
+    Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    Z = X[rng.permutation(n)[:256]].copy()
+    m = SVGP(X, Y, Z, kern.RBF(4, ARD=True), Gaussian(variance=0.1))
+    if optimize:
+        m.fit(iters=300, batchsize=2048, batch_mode="shuffle_slice")
+    if plot:
+        m.plot()
+    return m
+
+
 def matrix_free_exact_gp(n=3000, optimize=True, plot=False):
     """Exact GP via CG + stochastic Lanczos quadrature with the fused Pallas
     gram-matvec (Gram tiles never leave VMEM; differentiable end to end) —

@@ -26,7 +26,9 @@ from ..core.priors import Prior
 __all__ = ["to_dict", "from_dict", "save_model", "load_model"]
 
 _SKIP_KEYS = {"_objgrad_cache", "_posterior_cache", "_batch_start",
-              "_fit_chunk_cache", "_optax_chunk_cache", "_k_fn", "_kdiag_fn"}  # lambdified callables: rebuilt on load
+              "_fit_chunk_cache", "_optax_chunk_cache", "_k_fn", "_kdiag_fn",
+              "_predict_exec_cache", "_posterior_exec_cache",
+              "_fit_shuffle_cache", "_sample_cache"}  # compiled/lambdified callables + device caches: rebuilt on load
 
 
 def _classpath(obj) -> str:

@@ -238,3 +238,5 @@ def test_advanced_examples():
     assert np.isfinite(float(m2.log_likelihood()))
     m3 = advanced.matrix_free_exact_gp(n=400)
     assert np.isfinite(float(m3.log_likelihood()))
+    m4 = advanced.big_data_svgp(n=2000)
+    assert np.isfinite(float(m4.log_likelihood()))
