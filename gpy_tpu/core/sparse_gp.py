@@ -45,9 +45,42 @@ class SparseGP(GP):
         cache = self.__dict__.get("_posterior_cache")
         if cache is not None and cache[0] == fp:
             return cache[1]
+        post = self._compute_posterior()
+        self.__dict__["_posterior_cache"] = (fp, post)
+        return post
+
+    def _compute_posterior(self):
+        """One cached jitted program for the plain-VarDTC posterior (see
+        GP._compute_posterior: eager inference pays a per-op compile +
+        ~24ms tunnel dispatch per operation on TPU). Z is a parameter, so
+        it comes from the functional copy inside the trace."""
+        from ..inference.var_dtc import VarDTC
+        from ..inference.posterior import Posterior as _WPost
+
+        if (type(self.inference_method) is VarDTC
+                and not hasattr(self.X, "variance")):
+            key = ("postexec", self.structure_version(), self._data_version(),
+                   tuple(np.shape(self.X)))
+            ecache = self.__dict__.setdefault("_posterior_exec_cache", {})
+            fn = ecache.get(key)
+            if fn is None:
+                import jax
+
+                def _fn(fl, X, Y):
+                    mod = self.with_flat_raw(fl)
+                    p, _ = self.inference_method.inference(
+                        mod.kern, X, jnp.asarray(mod.Z), mod.likelihood, Y,
+                        mod.mean_function, self.Y_metadata)
+                    return p._woodbury_vector, p._woodbury_inv, p._K
+
+                fn = jax.jit(_fn)
+                ecache[key] = fn
+            wv, wi, K = fn(jnp.asarray(self.get_flat_raw()),
+                           jnp.asarray(self.X),
+                           jnp.asarray(self.Y_normalized))
+            return _WPost(woodbury_vector=wv, woodbury_inv=wi, K=K)
         post, _ = self.inference_method.inference(
             self.kern, self.X, jnp.asarray(self.Z), self.likelihood,
             self.Y_normalized, self.mean_function, self.Y_metadata,
         )
-        self.__dict__["_posterior_cache"] = (fp, post)
         return post
