@@ -1,6 +1,11 @@
 """Benchmark: SVGP ELBO optimization steps/s on one TPU chip (f32 path).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints ONE JSON line and writes the COMPLETE results dict (incl. per-metric
+{best, median, spread_pct, n} spreads) to BENCH_FULL.json in the repo root,
+flushed after every stage so a killed run still leaves its artifact
+(VERDICT r4 weak #2: the driver keeps only a 2000-char stdout tail — the
+printed line is kept compact, spreads live in the file, and headline fields
+sit at the END of the line so tail truncation preserves them).
 
 The reference (SheffieldML/GPy) publishes no numbers (BASELINE.md); its SVGP
 step is a single-threaded numpy/LAPACK pipeline (GPy/core/svgp.py +
@@ -10,14 +15,21 @@ host's CPU — the closest stand-in for GPy's own step cost (same O(|B|M^2+M^3)
 pipeline, same BLAS).
 
 Extra sub-metrics cover the other BASELINE.json axes: exact-GP NLML+grad
-wall time at N (Cholesky path) and HMC leapfrog samples/s.
+wall time at N (Cholesky path), sparse/classification inference, HMC
+samples/s, predict-path latency, and a long-tail model-family smoke section.
 """
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
 
 os.environ["GPY_TPU_X64"] = "0"  # f32 on TPU for the perf path
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# persistent XLA compile cache: predict_cold measures whether the backend
+# honors it (VERDICT r4 next #6)
+os.environ.setdefault("GPY_TPU_COMPILE_CACHE", os.path.join(_REPO, ".jax_cache"))
 
 import numpy as np
 
@@ -58,13 +70,27 @@ def numpy_svgp_step_time(X, Y, Z, batch, iters=5):
 
 
 _SPREADS = {}
+_FULL = {"schema": "gpy_tpu full bench results v1"}
+_FULL_PATH = os.path.join(_REPO, "BENCH_FULL.json")
 
 
-def timed_repeats(make_call, n=4, stall_pct=50.0):
-    """Stall discipline (VERDICT r3 weak #6): run make_call(i) -> seconds n
-    times; if the spread exceeds stall_pct (an intra-run tunnel stall), run
-    n more so the artifact records steady-state alongside the stall. Returns
-    (times, retried)."""
+def flush_full():
+    """Write the complete results dict after every stage so a killed/stalled
+    run still leaves a readable artifact of record."""
+    _FULL["spread"] = _SPREADS
+    try:
+        with open(_FULL_PATH, "w") as f:
+            json.dump(_FULL, f, indent=1)
+            f.write("\n")
+    except OSError:  # pragma: no cover
+        pass
+
+
+def timed_repeats(make_call, n=4, stall_pct=25.0):
+    """Stall discipline (VERDICT r4 next #7, threshold 50 -> 25): run
+    make_call(i) -> seconds n times; if the spread exceeds stall_pct (an
+    intra-run tunnel stall), run n more so the artifact records steady-state
+    alongside the stall. Returns (times, retried)."""
     ts = [make_call(i) for i in range(n)]
     retried = False
     if min(ts) > 0 and 100.0 * (max(ts) - min(ts)) / min(ts) > stall_pct:
@@ -73,29 +99,32 @@ def timed_repeats(make_call, n=4, stall_pct=50.0):
     return ts, retried
 
 
-def record(extra, name, times, scale=1e3, rate=None, ndigits=2):
+def record(extra, name, times, scale=1e3, rate=None, ndigits=2, retried=False):
     """Record a timed metric WITH variance bounds (VERDICT r2 weak #3).
 
     times: raw seconds per repeat. Writes the headline number under `name`
     (best time in ms, or best rate if `rate` is given as units-per-call) and
-    {best, median, spread_pct, n} under extra["spread"][name] so driver-run
-    deltas can be told apart from tunnel drift.
+    {best, median, spread_pct, n} under the spread table so driver-run deltas
+    can be told apart from tunnel drift. Spreads >25% are flagged
+    `high_spread` so nothing ships unlabeled (VERDICT r4 weak #5).
     """
     ts = sorted(float(t) for t in times)
     med = ts[len(ts) // 2] if len(ts) % 2 else 0.5 * (ts[len(ts) // 2 - 1] + ts[len(ts) // 2])
+    spread_pct = round(100.0 * (ts[-1] - ts[0]) / ts[0], 1) if ts[0] > 0 else 0.0
     if rate is not None:
-        vals = sorted((rate / t for t in ts), reverse=True)
-        extra[name] = round(vals[0], ndigits)
-        _SPREADS[name] = {"best": round(vals[0], ndigits),
-                          "median": round(rate / med, ndigits),
-                          "spread_pct": round(100.0 * (ts[-1] - ts[0]) / ts[0], 1),
-                          "n": len(ts)}
+        sp = {"best": round(rate / ts[0], ndigits),
+              "median": round(rate / med, ndigits)}
     else:
-        extra[name] = round(ts[0] * scale, ndigits)
-        _SPREADS[name] = {"best": round(ts[0] * scale, ndigits),
-                          "median": round(med * scale, ndigits),
-                          "spread_pct": round(100.0 * (ts[-1] - ts[0]) / ts[0], 1),
-                          "n": len(ts)}
+        sp = {"best": round(ts[0] * scale, ndigits),
+              "median": round(med * scale, ndigits)}
+    sp["spread_pct"] = spread_pct
+    sp["n"] = len(ts)
+    if retried:
+        sp["retried_after_stall"] = True
+    if spread_pct > 25.0:
+        sp["high_spread"] = True
+    extra[name] = sp["best"]
+    _SPREADS[name] = sp
     return extra[name]
 
 
@@ -133,6 +162,46 @@ def _timed_scalar(f, A, s):
     t0 = time.perf_counter()
     float(f(A, jnp.float32(s)))
     return time.perf_counter() - t0
+
+
+def _alarm(signum, frame):
+    raise TimeoutError("stage timed out")
+
+
+@contextlib.contextmanager
+def stage(extra, name, budget_s):
+    """Per-stage scaffolding: alarm budget, error capture (the primary metric
+    must always print), stderr progress line, and a BENCH_FULL.json flush."""
+    print(f"bench: {name}...", file=sys.stderr, flush=True)
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget_s)
+    try:
+        yield
+    except Exception as e:  # pragma: no cover
+        extra[f"{name}_error"] = str(e)[:120]
+    finally:
+        signal.alarm(0)
+        _FULL["extra"] = extra
+        flush_full()
+
+
+def timed_objgrad(extra, name, model, jax, jnp, scale=1e-4, n=3, ndigits=2):
+    """Standard NLML+grad timing: double warmup with distinct inputs (the
+    first fresh-args exec pays a one-time ~20ms warmup), then fresh theta per
+    timed call (tunnel value-caches identical executions) fetched with ONE
+    jax.device_get (two sequential fetches pay two ~24ms RTTs)."""
+    og = model._get_objgrad()
+    fl = np.asarray(model.get_flat_raw())
+    jax.device_get(og(jnp.asarray(fl)))            # compile + fetch
+    jax.device_get(og(jnp.asarray(fl * (1.0 + scale))))  # fresh-args warmup
+
+    def call(i):
+        t0 = time.perf_counter()
+        jax.device_get(og(jnp.asarray(fl + scale * (i + 2))))
+        return time.perf_counter() - t0
+
+    ts, retried = timed_repeats(call, n=n)
+    return record(extra, name, ts, ndigits=ndigits, retried=retried)
 
 
 def measure_linalg_tfs(jax, jnp):
@@ -234,13 +303,49 @@ def measure_linalg_tfs(jax, jnp):
     return out
 
 
+# ordering of the printed line's extra dict: least-critical keys FIRST so
+# the 2000-char driver tail keeps the headline metrics at the END
+_TAIL_PRIORITY = (
+    "predict_", "kron", "grid", "warped", "tp_", "multioutput_deriv",
+    "lvmogp", "kalman", "ep_", "laplace", "epdtc",
+    "vardtc_", "fitc_", "coreg", "bgplvm", "svgp_steps_per_s_n10M",
+    "exact50k", "exact_nlml", "gram", "chol", "hmc",
+    "svgp_elbo_steps_per_s",
+)
+
+
+def _order_for_tail(extra):
+    def key(k):
+        for i, pref in enumerate(_TAIL_PRIORITY):
+            if k.startswith(pref):
+                return (1, i)
+        return (0, 0)
+
+    return {k: extra[k] for k in sorted(extra, key=key)}
+
+
+# GPY_BENCH_SMOKE=1 shrinks every problem so the full bench wiring can be
+# validated quickly (e.g. on CPU with GPY_BENCH_CPU=1) — numbers produced in
+# smoke mode are labeled and meaningless
+SMOKE = os.environ.get("GPY_BENCH_SMOKE") == "1"
+
+
 def main():
     import jax
+
+    if os.environ.get("GPY_BENCH_CPU") == "1":
+        # the axon TPU plugin ignores JAX_PLATFORMS; this works pre-init
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import gpy_tpu  # noqa: F401  (configures precision policy)
+    import gpy_tpu  # noqa: F401  (configures precision policy + compile cache)
     from gpy_tpu.core.svgp import SVGP
     from gpy_tpu.likelihoods import Gaussian
     import gpy_tpu.kern as gk
+
+    try:
+        _FULL["compile_cache_dir"] = jax.config.jax_compilation_cache_dir or ""
+    except AttributeError:  # pragma: no cover
+        _FULL["compile_cache_dir"] = ""
 
     # --- tunnel-state label: dispatch floor FIRST --------------------------
     print("bench: measuring dispatch floor...", file=sys.stderr, flush=True)
@@ -248,7 +353,7 @@ def main():
     print(f"bench: dispatch floor {floor_ms:.1f} ms", file=sys.stderr, flush=True)
 
     # --- flagship: SVGP steps/s -------------------------------------------
-    N, M, D, B = 100_000, 512, 8, 4096
+    N, M, D, B = (4000, 64, 8, 512) if SMOKE else (100_000, 512, 8, 4096)
     rng = np.random.default_rng(0)
     X = rng.random((N, D)).astype(np.float32) * 4.0
     Y = (np.sin(X[:, :1]) + 0.1 * rng.standard_normal((N, 1))).astype(np.float32)
@@ -264,8 +369,8 @@ def main():
     # steady-state throughput: 500 steps per timed call (5 pipelined chunks
     # of the same compiled executable) so the one-time dispatch/fetch floor
     # (~24ms via the tunnel) and the fit-boundary init/write-back don't
-    # dominate the per-step number; best-of-3 for tunnel load variance
-    steps = 500
+    # dominate the per-step number; best-of-4 for tunnel load variance
+    steps = 20 if SMOKE else 500
 
     def _svgp_call(i):
         t0 = time.perf_counter()
@@ -273,99 +378,53 @@ def main():
         jax.block_until_ready(model.get_flat_raw())
         return time.perf_counter() - t0
 
+    extra = {"smoke_mode": SMOKE,
+             "dispatch_floor_ms": round(floor_ms, 1),
+             "tunnel_degraded": bool(floor_ms > 60.0)}
     svgp_times, svgp_retried = timed_repeats(_svgp_call, n=4)
-    best_dt = min(svgp_times)
-    steps_per_s = steps / best_dt
-    record({}, "svgp_elbo_steps_per_s", svgp_times, rate=steps, ndigits=1)
-    if svgp_retried:
-        _SPREADS["svgp_elbo_steps_per_s"]["retried_after_stall"] = True
+    steps_per_s = steps / min(svgp_times)
+    record(extra, "svgp_elbo_steps_per_s", svgp_times, rate=steps, ndigits=1,
+           retried=svgp_retried)
+    svgp_median = _SPREADS["svgp_elbo_steps_per_s"]["median"]
 
     # --- CPU numpy stand-in for the reference step (same math) -------------
     ref_step = numpy_svgp_step_time(
         X.astype(np.float64), Y.astype(np.float64), Z.astype(np.float64), B
     )
-    ref_steps_per_s = 1.0 / ref_step
-    vs_baseline = steps_per_s / ref_steps_per_s
-
-    # --- extras: exact GP NLML+grad (guarded — the TPU tunnel on this host
-    # intermittently stalls; the primary metric must always print) ----------
-    extra = {"dispatch_floor_ms": round(floor_ms, 1),
-             "tunnel_degraded": bool(floor_ms > 60.0)}
-    import signal
-
-    def _alarm(signum, frame):
-        raise TimeoutError("extra timed out")
+    vs_baseline = steps_per_s * ref_step
 
     # --- speed-of-light / MFU section --------------------------------------
-    try:
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(240)
-        print("bench: linalg TF/s section...", file=sys.stderr, flush=True)
+    with stage(extra, "linalg_tfs", 240):
         extra.update(measure_linalg_tfs(jax, jnp))
-    except Exception as e:  # pragma: no cover
-        extra["linalg_tfs_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
 
-    try:
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(420)
+    # --- exact GP NLML+grad (BASELINE Cholesky path) -----------------------
+    m8 = None
+    with stage(extra, "exact_gp", 420):
         from gpy_tpu.models import GPRegression
 
-        n_exact = 4096
+        n_exact = 256 if SMOKE else 4096
         Xe = rng.random((n_exact, 4)).astype(np.float32)
         Ye = (np.sin(Xe[:, :1]) + 0.1 * rng.standard_normal((n_exact, 1))).astype(np.float32)
         me = GPRegression(Xe, Ye)
-        og = me._get_objgrad()
-        flat = np.asarray(me.get_flat_raw())
-        print("bench: exact gp extra...", file=sys.stderr, flush=True)
-        # Two pitfalls of the axon tunnel (measured): identical calls are
-        # value-cached, and block_until_ready does not synchronize — so use
-        # a fresh theta per call and force a host fetch of the results.
-        v, g = og(jnp.asarray(flat))
-        float(v), np.asarray(g)  # compile + fetch
-        ts = []
-        for i in range(1, 5):
-            xi = jnp.asarray(flat + 1e-3 * i)
-            t0 = time.perf_counter()
-            # one batched host fetch: float(v) then np.asarray(g) pays TWO
-            # sequential ~24ms tunnel RTTs (measured 60.5 vs 34.7 ms)
-            jax.device_get(og(xi))
-            ts.append(time.perf_counter() - t0)
-        ts = ts[1:]  # first fresh-args exec pays the one-time ~20ms warmup
-        record(extra, "exact_nlml_grad_ms_n4096", ts)
+        timed_objgrad(extra, "exact_nlml_grad_ms_n4096", me, jax, jnp,
+                      scale=1e-3)
 
         # N=8192 one-shot AND chain-differenced (the latter removes the
         # ~24ms dispatch floor and shows the pure on-device NLML+grad —
         # the number the blocked chol + inverse-leaf dtrtrs work moves)
-        n8 = 8192
+        n8 = 512 if SMOKE else 8192
         X8 = rng.random((n8, 8)).astype(np.float32) * 4.0
         Y8 = (np.sin(X8[:, :1]) + 0.1 * rng.standard_normal((n8, 1))).astype(np.float32)
-        import gpy_tpu.kern as _gk8
-        m8 = GPRegression(X8, Y8, _gk8.RBF(8, ARD=True), noise_var=0.1)
-        og8 = m8._get_objgrad()
-        flat8 = np.asarray(m8.get_flat_raw())
-        jax.device_get(og8(jnp.asarray(flat8)))
-        jax.device_get(og8(jnp.asarray(flat8 * 1.0001)))
-        ts8 = []
-        for i in range(2, 5):
-            t0 = time.perf_counter()
-            jax.device_get(og8(jnp.asarray(flat8 + 1e-4 * i)))
-            ts8.append(time.perf_counter() - t0)
-        record(extra, "exact_nlml_grad_ms_n8192", ts8)
-
-    except Exception as e:  # pragma: no cover
-        extra["exact_nlml_grad_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+        m8 = GPRegression(X8, Y8, gk.RBF(8, ARD=True), noise_var=0.1)
+        timed_objgrad(extra, "exact_nlml_grad_ms_n8192", m8, jax, jnp)
 
     # chain-differenced 8192 NLML+grad gets its OWN alarm budget: the two
     # chained executables are the biggest compiles of the bench and starved
     # the shared 420s window on the first r4 run
-    try:
-        signal.alarm(420)
+    with stage(extra, "exact_8192_chain", 420):
         loss8 = m8._flat_objective
         vg8 = jax.value_and_grad(loss8)
+        flat8 = np.asarray(m8.get_flat_raw())
 
         def e8_chain(k_len):
             @jax.jit
@@ -393,95 +452,59 @@ def main():
                  [(6, c3), (7, c3), (8, c3)])
         extra["exact_nlml_grad_ms_n8192_chain"] = round(
             max(t3 - t1, 1e-9) / 2.0 * 1e3, 2)
-    except Exception as e:  # pragma: no cover
-        extra["exact_nlml_grad_chain_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
 
-    # --- extra: N=50k exact GP via matrix-free CG/SLQ (the BASELINE.json
-    # headline; dense cholesky cannot fit the 10GB Gram on one chip) -------
-    try:
-        signal.alarm(240)
+    # --- N=50k exact GP via matrix-free CG/SLQ (the BASELINE.json headline;
+    # dense cholesky cannot fit the 10GB Gram on one chip) ------------------
+    Xi = Yi = None
+    with stage(extra, "exact50k", 240):
         from gpy_tpu.inference.iterative import IterativeGaussianInference
         from gpy_tpu.models import GPRegression
 
-        n_it = 50_000
+        n_it = 4096 if SMOKE else 50_000
         Xi = rng.random((n_it, 4)).astype(np.float32) * 10.0
         Yi = (np.sin(Xi[:, :1]) + 0.1 * rng.standard_normal((n_it, 1))).astype(np.float32)
         mi = GPRegression(Xi, Yi, noise_var=0.1,
                           inference_method=IterativeGaussianInference(
-                              max_cg=48, n_probes=8, block=2048))
-        ogi = mi._get_objgrad()
-        flat_i = np.asarray(mi.get_flat_raw())
-        v, g = ogi(jnp.asarray(flat_i))
-        float(v), np.asarray(g)  # compile + fetch
-        ts = []
-        for i in range(1, 4):
-            t0 = time.perf_counter()
-            jax.device_get(ogi(jnp.asarray(flat_i + 1e-3 * i)))
-            ts.append(time.perf_counter() - t0)
-        record(extra, "exact50k_cg_nlml_grad_ms", ts, ndigits=1)
-    except Exception as e:  # pragma: no cover
-        extra["exact50k_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+                              max_cg=8 if SMOKE else 48,
+                              n_probes=4 if SMOKE else 8, block=2048))
+        timed_objgrad(extra, "exact50k_cg_nlml_grad_ms", mi, jax, jnp,
+                      scale=1e-3, ndigits=1)
 
-    # --- extra: same N=50k NLML+grad with the fused Pallas gram-matvec
-    # (Gram tiles stay in VMEM; no 10GB materialization) -------------------
-    try:
-        signal.alarm(240)
-        print("bench: exact 50k fused extra...", file=sys.stderr, flush=True)
+    # --- same N=50k NLML+grad with the fused Pallas gram-matvec
+    # (Gram tiles stay in VMEM; no 10GB materialization) --------------------
+    with stage(extra, "exact50k_fused", 240):
+        from gpy_tpu.inference.iterative import IterativeGaussianInference
+        from gpy_tpu.models import GPRegression
+
         mf = GPRegression(Xi, Yi, noise_var=0.1,
                           inference_method=IterativeGaussianInference(
-                              max_cg=48, n_probes=8, block=2048,
+                              max_cg=8 if SMOKE else 48,
+                              n_probes=4 if SMOKE else 8, block=2048,
                               materialize=False, fused=True))
-        ogf = mf._get_objgrad()
-        flat_f = np.asarray(mf.get_flat_raw())
-        v, g = ogf(jnp.asarray(flat_f))
-        float(v), np.asarray(g)  # compile + fetch
-        ts = []
-        for i in range(1, 4):
-            t0 = time.perf_counter()
-            jax.device_get(ogf(jnp.asarray(flat_f + 1e-3 * i)))
-            ts.append(time.perf_counter() - t0)
-        record(extra, "exact50k_cg_nlml_grad_ms_fused", ts, ndigits=1)
-    except Exception as e:  # pragma: no cover
-        extra["exact50k_fused_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+        timed_objgrad(extra, "exact50k_cg_nlml_grad_ms_fused", mf, jax, jnp,
+                      scale=1e-3, ndigits=1)
 
-    # --- extra: N=50k with bf16 Gram storage (opt-in throughput mode; SLQ
-    # logdet bias 0.5-2% — pinned by tests/test_iterative.py) ---------------
-    try:
-        signal.alarm(240)
-        print("bench: exact 50k bf16-gram extra...", file=sys.stderr, flush=True)
+    # --- N=50k with bf16 Gram storage (opt-in throughput mode; SLQ logdet
+    # bias 0.5-2% — pinned by tests/test_iterative.py) ----------------------
+    with stage(extra, "exact50k_bf16", 240):
+        from gpy_tpu.inference.iterative import IterativeGaussianInference
+        from gpy_tpu.models import GPRegression
+
         mb16 = GPRegression(Xi, Yi, noise_var=0.1,
                             inference_method=IterativeGaussianInference(
-                                max_cg=48, n_probes=8, block=2048,
+                                max_cg=8 if SMOKE else 48,
+                                n_probes=4 if SMOKE else 8, block=2048,
                                 materialize=True, gram_dtype="bfloat16"))
-        ogb = mb16._get_objgrad()
-        flat_b = np.asarray(mb16.get_flat_raw())
-        v, g = ogb(jnp.asarray(flat_b))
-        float(v), np.asarray(g)
-        ts = []
-        for i in range(1, 4):
-            t0 = time.perf_counter()
-            jax.device_get(ogb(jnp.asarray(flat_b + 1e-3 * i)))
-            ts.append(time.perf_counter() - t0)
-        record(extra, "exact50k_cg_nlml_grad_ms_bf16gram", ts, ndigits=1)
-    except Exception as e:  # pragma: no cover
-        extra["exact50k_bf16_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+        timed_objgrad(extra, "exact50k_cg_nlml_grad_ms_bf16gram", mb16, jax,
+                      jnp, scale=1e-3, ndigits=1)
 
-    # --- extra: collapsed sparse GP regression (BASELINE config #2:
-    # VarDTC / FITC at N~50k) -----------------------------------------------
-    try:
-        signal.alarm(300)
-        print("bench: sparse vardtc/fitc extra...", file=sys.stderr, flush=True)
+    # --- collapsed sparse GP regression (BASELINE config #2: VarDTC / FITC
+    # at N~50k) -------------------------------------------------------------
+    msp_predict = None
+    with stage(extra, "sparse_vardtc_fitc", 300):
         from gpy_tpu.models import SparseGPRegression
 
-        n_sp, m_sp = 50_000, 512
+        n_sp, m_sp = (4000, 64) if SMOKE else (50_000, 512)
         Xsp = rng.random((n_sp, D)).astype(np.float32) * 4.0
         Ysp = (np.sin(Xsp[:, :1])
                + 0.1 * rng.standard_normal((n_sp, 1))).astype(np.float32)
@@ -489,100 +512,112 @@ def main():
         for infer in ("vardtc", "fitc"):
             msp = SparseGPRegression(Xsp, Ysp, gk.RBF(D, ARD=True), Z=Zsp,
                                      infer=infer)
-            ogs = msp._get_objgrad()
-            fls = np.asarray(msp.get_flat_raw())
-            jax.device_get(ogs(jnp.asarray(fls)))
-            jax.device_get(ogs(jnp.asarray(fls * 1.0001)))
-            ts = []
-            for i in range(2, 5):
-                t0 = time.perf_counter()
-                jax.device_get(ogs(jnp.asarray(fls + 1e-4 * i)))
-                ts.append(time.perf_counter() - t0)
-            record(extra, f"{infer}_nlml_grad_ms_n50k_m512", ts)
-    except Exception as e:  # pragma: no cover
-        extra["sparse_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+            timed_objgrad(extra, f"{infer}_nlml_grad_ms_n50k_m512", msp,
+                          jax, jnp)
+            if infer == "vardtc":
+                msp_predict = msp
 
-    # --- extra: SVGP at N=10M on one chip (BASELINE config #4 scale axis;
-    # dataset is passed to the compiled chunk as an argument, never a
-    # captured constant) ----------------------------------------------------
-    try:
-        signal.alarm(300)
-        print("bench: svgp 10M extra...", file=sys.stderr, flush=True)
-        N10 = 10_000_000
+    # --- predict-path latency (VERDICT r4 next #6: the round-4 predict
+    # compilation was note-only). Cold = first predict on a model whose
+    # posterior was never materialized (includes compile through the tunnel,
+    # or a persistent-cache hit if the backend honors the cache); warm =
+    # fresh same-shape Xnew through the cached executable. -------------------
+    with stage(extra, "predict_latency", 420):
+        from gpy_tpu.models import GPRegression
+
+        n_p = 512 if SMOKE else 4096
+        Xp = rng.random((n_p, 4)).astype(np.float32)
+        Yp = (np.sin(Xp[:, :1]) + 0.1 * rng.standard_normal((n_p, 1))).astype(np.float32)
+        mp = GPRegression(Xp, Yp, noise_var=0.1)
+        Xq = rng.random((500, 4)).astype(np.float32)
+        t0 = time.perf_counter()
+        mu, var = mp.predict(Xq)
+        np.asarray(mu), np.asarray(var)
+        extra["predict_cold_ms_exact_n4096"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+
+        def warm_call(i):
+            t0 = time.perf_counter()
+            mu, var = mp.predict(Xq + 1e-3 * (i + 1))
+            np.asarray(mu), np.asarray(var)
+            return time.perf_counter() - t0
+
+        ts, retried = timed_repeats(warm_call, n=3)
+        record(extra, "predict_warm_ms_exact_n4096", ts, ndigits=1,
+               retried=retried)
+
+        if msp_predict is not None:
+            t0 = time.perf_counter()
+            mu, var = msp_predict.predict(Xq)
+            np.asarray(mu), np.asarray(var)
+            extra["predict_cold_ms_sparse_n50k"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
+
+            def warm_sp(i):
+                t0 = time.perf_counter()
+                mu, var = msp_predict.predict(Xq + 1e-3 * (i + 1))
+                np.asarray(mu), np.asarray(var)
+                return time.perf_counter() - t0
+
+            ts, retried = timed_repeats(warm_sp, n=3)
+            record(extra, "predict_warm_ms_sparse_n50k", ts, ndigits=1,
+                   retried=retried)
+
+    # --- SVGP at N=10M on one chip (BASELINE config #4 scale axis; dataset
+    # is passed to the compiled chunk as an argument, never a captured
+    # constant) --------------------------------------------------------------
+    with stage(extra, "svgp_10M", 300):
+        N10 = 100_000 if SMOKE else 10_000_000
         X10 = rng.random((N10, D), dtype=np.float32) * 4.0
         Y10 = (np.sin(X10[:, :1]) + 0.1 * rng.standard_normal((N10, 1))).astype(np.float32)
         Z10 = X10[rng.permutation(N10)[:M]].copy()
         m10 = SVGP(X10, Y10, Z10, gk.RBF(D, ARD=True), Gaussian(variance=0.1))
         m10.fit(iters=100, batchsize=B)
         m10.fit(iters=100, batchsize=B)
-        ts = []
-        for _ in range(3):
+
+        def call10(i):
             t0 = time.perf_counter()
             m10.fit(iters=steps, batchsize=B)
             jax.block_until_ready(m10.get_flat_raw())
-            ts.append(time.perf_counter() - t0)
-        record(extra, "svgp_steps_per_s_n10M", ts, rate=steps, ndigits=1)
-        del m10, X10, Y10, Z10
-    except Exception as e:  # pragma: no cover
-        extra["svgp10M_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+            return time.perf_counter() - t0
 
-    # --- extra: BGPLVM on-device adam steps/s (BASELINE config #5 axis) ----
-    try:
-        signal.alarm(240)
-        print("bench: bgplvm extra...", file=sys.stderr, flush=True)
+        ts, retried = timed_repeats(call10, n=3)
+        record(extra, "svgp_steps_per_s_n10M", ts, rate=steps, ndigits=1,
+               retried=retried)
+        del m10, X10, Y10, Z10
+
+    # --- BGPLVM on-device adam steps/s (BASELINE config #5 axis) -----------
+    with stage(extra, "bgplvm", 240):
         from gpy_tpu.models import BayesianGPLVM
 
         Yb_ = (rng.standard_normal((1000, 3)) @ rng.standard_normal((3, 12))
                + 0.1 * rng.standard_normal((1000, 12))).astype(np.float32)
         mb_ = BayesianGPLVM(Yb_, 10, num_inducing=30)
         mb_.optimize(optimizer="adam", max_iters=200, step_size=5e-3)  # compile
-        ts = []
-        for _ in range(4):
+
+        def callb(i):
             t0 = time.perf_counter()
             mb_.optimize(optimizer="adam", max_iters=200, step_size=5e-3)
-            ts.append(time.perf_counter() - t0)
-        record(extra, "bgplvm_adam_steps_per_s_n1000", ts, rate=200, ndigits=1)
-    except Exception as e:  # pragma: no cover
-        extra["bgplvm_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+            return time.perf_counter() - t0
 
-    # --- extra: coregionalized multi-output NLML+grad (config #4 axis) -----
-    try:
-        signal.alarm(240)
-        print("bench: coreg extra...", file=sys.stderr, flush=True)
+        ts, retried = timed_repeats(callb, n=4)
+        record(extra, "bgplvm_adam_steps_per_s_n1000", ts, rate=200,
+               ndigits=1, retried=retried)
+
+    # --- coregionalized multi-output NLML+grad (config #4 axis) ------------
+    with stage(extra, "coreg", 240):
         from gpy_tpu.models import GPCoregionalizedRegression
 
         Xl = [np.sort(rng.random((1000, 1)).astype(np.float32) * 10, 0) for _ in range(4)]
         Yl = [np.sin(Xc + i) + 0.1 * rng.standard_normal(Xc.shape).astype(np.float32)
               for i, Xc in enumerate(Xl)]
         mc_ = GPCoregionalizedRegression(Xl, Yl)
-        ogc = mc_._get_objgrad()
-        fc = np.asarray(mc_.get_flat_raw())
-        v, g = ogc(jnp.asarray(fc)); float(v); np.asarray(g)
-        v, g = ogc(jnp.asarray(fc * 1.000001)); float(v); np.asarray(g)  # double warm
-        ts = []
-        for i in range(2, 6):
-            t0 = time.perf_counter()
-            jax.device_get(ogc(jnp.asarray(fc + 1e-4 * i)))
-            ts.append(time.perf_counter() - t0)
-        record(extra, "coreg_nlml_grad_ms_n4000", ts, ndigits=1)
-    except Exception as e:  # pragma: no cover
-        extra["coreg_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+        timed_objgrad(extra, "coreg_nlml_grad_ms_n4000", mc_, jax, jnp,
+                      n=4, ndigits=1)
 
-    # --- extra: classification — EP / Laplace / EPDTC on the chip
-    # (BASELINE config #3: "GP classification, EP + Laplace, banana";
-    # VERDICT r3 next #1 — the non-Gaussian half had zero TPU numbers) ------
-    try:
-        signal.alarm(420)
-        print("bench: classification (EP/Laplace/EPDTC)...", file=sys.stderr,
-              flush=True)
+    # --- classification: EP / Laplace / EPDTC on the chip (BASELINE config
+    # #3: "GP classification, EP + Laplace, banana") -------------------------
+    with stage(extra, "classification", 420):
         from gpy_tpu.core.sparse_gp import SparseGP
         from gpy_tpu.inference.ep import EP
         from gpy_tpu.inference.epdtc import EPDTC
@@ -603,28 +638,13 @@ def main():
             return (np.stack([x1, x2], 1).astype(np.float32),
                     c.reshape(-1, 1).astype(np.float32))
 
-        n_cls = 2048
+        n_cls = 256 if SMOKE else 2048
         Xcl, Ycl = _banana(n_cls)
-
-        def _time_objgrad(m, name, n_rep=4):
-            og = m._get_objgrad()
-            fl = np.asarray(m.get_flat_raw())
-            jax.device_get(og(jnp.asarray(fl)))          # compile + fetch
-            jax.device_get(og(jnp.asarray(fl * 1.0001)))  # fresh-args warmup
-
-            def call(i):
-                t0 = time.perf_counter()
-                jax.device_get(og(jnp.asarray(fl + 1e-4 * (i + 2))))
-                return time.perf_counter() - t0
-
-            ts, retried = timed_repeats(call, n=n_rep)
-            record(extra, name, ts, ndigits=1)
-            if retried:
-                _SPREADS[name]["retried_after_stall"] = True
 
         # EP (nested: sites re-converge INSIDE every objective evaluation)
         m_ep = GPClassification(Xcl, Ycl)
-        _time_objgrad(m_ep, "ep_nlml_grad_ms_n2048")
+        timed_objgrad(extra, "ep_nlml_grad_ms_n2048", m_ep, jax, jnp,
+                      n=4, ndigits=1)
 
         # EP sweeps-to-converge + ms/sweep. epsilon=0 forces exactly
         # max_iters sweeps -> two-length differencing cancels the setup
@@ -660,7 +680,8 @@ def main():
 
         # Laplace: full NLML+grad + Newton-iteration cost
         m_la = GPClassificationLaplace(Xcl, Ycl)
-        _time_objgrad(m_la, "laplace_nlml_grad_ms_n2048")
+        timed_objgrad(extra, "laplace_nlml_grad_ms_n2048", m_la, jax, jnp,
+                      n=4, ndigits=1)
         la_real = Laplace()
         n_newton = int(jax.jit(
             lambda K: la_real._find_mode(K, lik_b, Yj, None, jnp.zeros_like(Yj))[1])(Kcl))
@@ -687,70 +708,112 @@ def main():
             max(t10 - t2, 1e-9) / 8.0 * 1e3, 3)
 
         # EPDTC: sparse EP at M=512 on a bigger banana
-        Xcl4, Ycl4 = _banana(4096)
-        Zcl = Xcl4[rng.permutation(4096)[:512]].copy()
-        import gpy_tpu.kern as _gk
-        m_epdtc = SparseGP(Xcl4, Ycl4, Zcl, _gk.RBF(2), Bernoulli(),
+        n_ep4, m_ep4 = (512, 64) if SMOKE else (4096, 512)
+        Xcl4, Ycl4 = _banana(n_ep4)
+        Zcl = Xcl4[rng.permutation(n_ep4)[:m_ep4]].copy()
+        m_epdtc = SparseGP(Xcl4, Ycl4, Zcl, gk.RBF(2), Bernoulli(),
                            inference_method=EPDTC(), name="epdtc_bench")
-        _time_objgrad(m_epdtc, "epdtc_nlml_grad_ms_n4096_m512")
-    except Exception as e:  # pragma: no cover
-        extra["classification_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+        timed_objgrad(extra, "epdtc_nlml_grad_ms_n4096_m512", m_epdtc, jax,
+                      jnp, n=4, ndigits=1)
 
-    # --- extra: Kalman N=20k sequential vs chunked-hybrid parallel ----------
-    try:
-        signal.alarm(300)
-        print("bench: kalman extra...", file=sys.stderr, flush=True)
+    # --- Kalman N=20k sequential vs chunked-hybrid parallel ----------------
+    with stage(extra, "kalman", 300):
         from gpy_tpu.models import StateSpace
 
-        n_k = 20_000
+        n_k = 2000 if SMOKE else 20_000
         Xk = np.sort(rng.uniform(0, 100, n_k)).astype(np.float32)
         Yk = (np.sin(Xk / 3.0) + 0.2 * rng.standard_normal(n_k)).astype(np.float32)
 
-        def time_ss(parallel):
-            m = StateSpace(Xk, Yk, parallel=parallel, noise_var=0.1)
-            og = m._get_objgrad()
-            fl = np.asarray(m.get_flat_raw())
-            v, g = og(jnp.asarray(fl)); float(v); np.asarray(g)
-            v, g = og(jnp.asarray(fl * 1.0001)); float(v); np.asarray(g)
-            ts = []
-            for i in range(2, 5):
-                t0 = time.perf_counter()
-                jax.device_get(og(jnp.asarray(fl + 1e-4 * i)))
-                ts.append(time.perf_counter() - t0)
-            return ts
+        for parallel, name in ((False, "kalman20k_nlml_grad_ms_seq"),
+                               (True, "kalman20k_nlml_grad_ms_parallel")):
+            m_ss = StateSpace(Xk, Yk, parallel=parallel, noise_var=0.1)
+            timed_objgrad(extra, name, m_ss, jax, jnp, ndigits=1)
+        extra["kalman_parallel_speedup"] = round(
+            extra["kalman20k_nlml_grad_ms_seq"]
+            / extra["kalman20k_nlml_grad_ms_parallel"], 2)
 
-        t_seq = record(extra, "kalman20k_nlml_grad_ms_seq", time_ss(False), ndigits=1)
-        t_par = record(extra, "kalman20k_nlml_grad_ms_parallel", time_ss(True), ndigits=1)
-        extra["kalman_parallel_speedup"] = round(t_seq / t_par, 2)
-    except Exception as e:  # pragma: no cover
-        extra["kalman_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
+    # --- long-tail model families: one NLML+grad smoke number each
+    # (VERDICT r4 next #5 — the predict-path 33.6s cliff proved that
+    # CPU-tested paths can hide tunnel pathologies; shapes kept small so
+    # this section is compile-dominated, not compute-dominated) -------------
+    with stage(extra, "longtail", 600):
+        from gpy_tpu.models import (GPKroneckerGaussianRegression,
+                                    GPRegressionGrid, WarpedGP, TPRegression,
+                                    MultioutputGP, GPMultioutRegression)
+        from gpy_tpu.kern import DiffKern
 
-    # --- extra: HMC samples/s/chip scaling curve (BASELINE.json metric axis).
+        extra["dispatch_floor_ms_longtail_stage"] = round(
+            measure_dispatch_floor(jax, jnp), 1)
+
+        # Kronecker-structured exact GP (32x24 grid = 768 points)
+        X1 = np.linspace(0, 3, 32).reshape(-1, 1).astype(np.float32)
+        X2 = np.linspace(0, 2, 24).reshape(-1, 1).astype(np.float32)
+        F = np.sin(X1) @ np.cos(X2).T
+        Ykr = (F + 0.05 * rng.standard_normal((32, 24))).astype(np.float32)
+        m_kr = GPKroneckerGaussianRegression(X1, X2, Ykr, gk.RBF(1), gk.RBF(1),
+                                             noise_var=0.05)
+        timed_objgrad(extra, "kron_nlml_grad_ms_768", m_kr, jax, jnp)
+
+        # grid regression (3D grid, 16*12*10 = 1920 points)
+        Xs = [np.linspace(0, 3, n).reshape(-1, 1).astype(np.float32)
+              for n in (16, 12, 10)]
+        Fg = rng.standard_normal((16, 12, 10)).astype(np.float32)
+        m_gr = GPRegressionGrid(Xs, Fg, noise_var=0.5)
+        timed_objgrad(extra, "grid_nlml_grad_ms_1920", m_gr, jax, jnp)
+
+        # WarpedGP (tanh warping, n=1000)
+        Xw = rng.random((1000, 2)).astype(np.float32) * 4.0
+        Yw = (np.sin(Xw[:, :1]) + 0.1 * rng.standard_normal((1000, 1))).astype(np.float32)
+        m_w = WarpedGP(Xw, Yw)
+        timed_objgrad(extra, "warped_nlml_grad_ms_1000", m_w, jax, jnp)
+
+        # Student-t process regression (n=2048)
+        Xt = rng.random((2048, 2)).astype(np.float32) * 4.0
+        Yt = (np.sin(Xt[:, :1]) + 0.1 * rng.standard_normal((2048, 1))).astype(np.float32)
+        m_t = TPRegression(Xt, Yt, deg_free=4.0)
+        timed_objgrad(extra, "tp_nlml_grad_ms_2048", m_t, jax, jnp)
+
+        # MultioutputGP with derivative observations (512 f + 512 f')
+        Xd1 = np.linspace(0, 4, 512).reshape(-1, 1).astype(np.float32)
+        Xd2 = np.linspace(0, 4, 512).reshape(-1, 1).astype(np.float32)
+        base = gk.RBF(1)
+        m_mo = MultioutputGP([Xd1, Xd2],
+                             [np.sin(Xd1), np.cos(Xd2)],
+                             [base, DiffKern(base, 0)],
+                             [Gaussian(variance=1e-2), Gaussian(variance=1e-2)])
+        timed_objgrad(extra, "multioutput_deriv_nlml_grad_ms_1024", m_mo,
+                      jax, jnp)
+
+        # LVMOGP (Kronecker SVI multiout, n=400 rows x 8 outputs)
+        Xlv = np.linspace(0, 5, 400).reshape(-1, 1).astype(np.float32)
+        Flv = np.sin(Xlv)
+        Ylv = np.hstack([Flv * w for w in np.linspace(0.5, 1.5, 8)]).astype(np.float32)
+        Ylv += 0.05 * rng.standard_normal(Ylv.shape).astype(np.float32)
+        m_lv = GPMultioutRegression(Xlv, Ylv, Xr_dim=2, num_inducing=(32, 4),
+                                    init="rand")
+        timed_objgrad(extra, "lvmogp_elbo_grad_ms_400x8", m_lv, jax, jnp)
+
+    # --- HMC samples/s/chip scaling curve (BASELINE.json metric axis).
     # Round-2 postmortem: sample() used to embed the PRNG seed as a trace
     # constant, so every timed call RECOMPILED the sampler — the r2 curve
     # (flat ~5-9 samples/s at every chain count) measured compile time, and
     # the r01->r02 "regression" 14.3->8.6 was compile-time drift. With the
     # executable cache + batched blocked chol path, steps are measured.
-    try:
-        signal.alarm(420)
+    with stage(extra, "hmc", 420):
         from gpy_tpu.mcmc import HMC
         from gpy_tpu.models import GPRegression
 
-        n_h = 1000
+        n_h = 200 if SMOKE else 1000
         Xh = rng.random((n_h, 2)).astype(np.float32) * 4.0
         Yh = (np.sin(Xh[:, :1]) + 0.1 * rng.standard_normal((n_h, 1))).astype(np.float32)
         mh = GPRegression(Xh, Yh, noise_var=0.1)
         hmc = HMC(mh, stepsize=2e-2, num_leapfrog=10)
         # chain counts validated on hardware to 32 (_prof_hmc_bisect.py,
         # 2026-08-21); curve gate stays at 16 by default
-        hmc_max = int(os.environ.get("GPY_BENCH_HMC_MAX", "16"))
+        hmc_max = int(os.environ.get("GPY_BENCH_HMC_MAX", "2" if SMOKE else "16"))
         curve = {}
+        curve_med = {}
         curve_spread = {}
-        print("bench: hmc scaling curve...", file=sys.stderr, flush=True)
         extra["dispatch_floor_ms_hmc_stage"] = round(
             measure_dispatch_floor(jax, jnp), 1)
         for n_c in (1, 2, 4, 8, 16):
@@ -758,38 +821,47 @@ def main():
                 break
             n_s = 40
             hmc.sample(num_samples=n_s, num_chains=n_c, seed=0)  # compile+warm
-            ts = []
-            for sd in (3, 5, 7):
+
+            def call_h(i):
                 t0 = time.perf_counter()
-                hmc.sample(num_samples=n_s, num_chains=n_c, seed=sd)
-                ts.append(time.perf_counter() - t0)
+                hmc.sample(num_samples=n_s, num_chains=n_c, seed=3 + 2 * i)
+                return time.perf_counter() - t0
+
+            ts, retried = timed_repeats(call_h, n=3)
             d = {}
-            record(d, "x", ts, rate=n_s * n_c, ndigits=1)
+            record(d, "x", ts, rate=n_s * n_c, ndigits=1, retried=retried)
             curve[str(n_c)] = d["x"]
-            curve_spread[str(n_c)] = _SPREADS.pop("x")
-            print(f"bench: hmc {n_c} chains: {curve[str(n_c)]} samples/s",
-                  file=sys.stderr, flush=True)
+            sp = _SPREADS.pop("x")
+            curve_med[str(n_c)] = sp["median"]
+            curve_spread[str(n_c)] = sp
+            print(f"bench: hmc {n_c} chains: {curve[str(n_c)]} samples/s "
+                  f"(median {curve_med[str(n_c)]})", file=sys.stderr, flush=True)
         extra["hmc_samples_per_s_by_chains_n1000"] = curve
+        extra["hmc_median_by_chains_n1000"] = curve_med
         _SPREADS["hmc_samples_per_s_by_chains_n1000"] = curve_spread
         if "8" in curve:
             # r1/r2-comparable 8-chain headline point
             extra["hmc_samples_per_s_n1000_8chains"] = curve["8"]
-    except Exception as e:  # pragma: no cover
-        extra["hmc_error"] = str(e)[:100]
-    finally:
-        signal.alarm(0)
 
     # closing floor: the tunnel floor DRIFTS within one run (30->60ms
     # observed) — bracketing the run lets a reader discount drifted stages
     extra["dispatch_floor_ms_end"] = round(measure_dispatch_floor(jax, jnp), 1)
-    extra["spread"] = _SPREADS
+
+    # printed line: compact (no spread table — that lives in BENCH_FULL.json)
+    # with headline fields at the END so the driver's 2000-char stdout tail
+    # keeps them even if the front is truncated
     out = {
+        "full_results": "BENCH_FULL.json",
+        "extra": _order_for_tail(extra),
         "metric": "svgp_elbo_steps_per_s",
         "value": round(steps_per_s, 3),
+        "value_median": svgp_median,
         "unit": "steps/s (N=100k, M=512, B=4096, RBF-ARD, 1 chip)",
         "vs_baseline": round(vs_baseline, 2),
-        "extra": extra,
     }
+    _FULL.update(out)
+    _FULL["extra"] = extra
+    flush_full()
     print(json.dumps(out))
 
 

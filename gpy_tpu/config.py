@@ -39,8 +39,25 @@ def _set_matmul_precision() -> None:
     jax.config.update("jax_default_matmul_precision", prec)
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt-in via GPY_TPU_COMPILE_CACHE=dir).
+
+    Cuts cold-start compile latency across processes where the backend honors
+    it (CPU does; a remote-compile TPU tunnel may bypass it — bench.py's
+    predict_cold metric records which happened)."""
+    d = os.environ.get("GPY_TPU_COMPILE_CACHE", "")
+    if d:
+        try:
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:  # pragma: no cover - older jax knob names
+            pass
+
+
 _enable_x64()
 _set_matmul_precision()
+_enable_compilation_cache()
 
 
 @dataclasses.dataclass
