@@ -107,6 +107,47 @@ def _kl_qU(cm, Mc, Mr):
     )
 
 
+def _full_row_stats(cm, kern_c, Xc, Zc, Y, weights=None):
+    """Row-sum statistics of the full bound over (this shard of) the data
+    axis: everything in the bound that sums over N. `weights` is an optional
+    0/1 row mask (padding rows for SPMD sharding).
+
+    Returns (N_eff, YY, Pc, psi0_c_sum, cross)."""
+    Y = jnp.asarray(Y)
+    uc = _is_variational(Xc)
+    psi0_c, psi1_c, psi2n_c = _gather_psi(kern_c, Xc, jnp.asarray(Zc), with_psi2n=uc)
+    Ac = jsl.solve_triangular(cm["Lc"], psi1_c.T, lower=True)  # (Mc, N)
+    w = jnp.ones(Y.shape[0], Y.dtype) if weights is None else jnp.asarray(weights)
+    if uc:
+        p2sum = jnp.einsum("n,nmk->mk", w, psi2n_c)
+        t = jsl.solve_triangular(cm["Lc"], p2sum, lower=True)
+        Pc = jsl.solve_triangular(cm["Lc"], t.T, lower=True).T
+    else:
+        Pc = (Ac * w[None, :]) @ Ac.T
+    return (jnp.sum(w),
+            jnp.sum(w[:, None] * Y**2),
+            Pc,
+            jnp.sum(w * psi0_c),
+            jnp.sum(w[:, None] * Y * (Ac.T @ cm["Mt"] @ cm["Ar"])))
+
+
+def _elbo_from_stats(cm, Mc, Mr, D, beta, N_eff, YY, Pc, psi0_c_sum, cross):
+    """Replicated combine of the full bound from reduced row statistics
+    (reference vardtc_svi_multiout.py:95-103)."""
+    Mt, St_c, St_r, P2r = cm["Mt"], cm["St_c"], cm["St_r"], cm["P2r"]
+    Pr = jnp.sum(P2r, axis=0)  # (Mr, Mr): summed row psi2 whitened
+    logL_A = (
+        -YY
+        - jnp.sum((Mt.T @ Pc @ Mt) * Pr)
+        - jnp.sum(Pr * St_r) * jnp.sum(Pc * St_c)
+        + 2.0 * cross
+        - psi0_c_sum * jnp.sum(cm["psi0_r"])
+        + jnp.trace(Pr) * jnp.trace(Pc)
+    )
+    return (-N_eff * D / 2.0 * (LOG_2_PI - jnp.log(beta)) + beta / 2.0 * logL_A
+            + _kl_qU(cm, Mc, Mr))
+
+
 def svi_multiout_elbo(kern_r, kern_c, Xr, Xc, Zr, Zc, noise_var, Y,
                       qU_mean, Sr, Sc):
     """Full-data LVMOGP evidence lower bound (Y: (N, D), no missing).
@@ -114,77 +155,63 @@ def svi_multiout_elbo(kern_r, kern_c, Xr, Xc, Zr, Zc, noise_var, Y,
     Matches reference vardtc_svi_multiout.py:95-103 term for term (verified
     by the D=1 SVGP-reduction and tiny-variance oracles in
     tests/test_svi_multiout.py). Does NOT include KL(q(Xr)) — the model
-    adds it, like the reference adds variational_prior_row.KL_divergence."""
+    adds it, like the reference adds variational_prior_row.KL_divergence.
+
+    Factored as row-stat collection (_full_row_stats, everything that sums
+    over the data axis) + replicated combine (_elbo_from_stats) so
+    parallel.sharded_svi_multiout_elbo_and_grad can psum the stats and reuse
+    the combine — serial/sharded parity holds by construction."""
     Y = jnp.asarray(Y)
-    N, D = Y.shape
+    D = Y.shape[1]
     Mc, Mr = Zc.shape[0], Zr.shape[0]
     beta = 1.0 / noise_var
-
     cm = _common(kern_r, kern_c, Xr, Zr, Zc, qU_mean, Sr, Sc)
-    Mt, St_c, St_r, Ar, P2r = cm["Mt"], cm["St_c"], cm["St_r"], cm["Ar"], cm["P2r"]
+    stats = _full_row_stats(cm, kern_c, Xc, Zc, Y)
+    return _elbo_from_stats(cm, Mc, Mr, D, beta, *stats)
+
+
+def _md_row_stats(cm, kern_c, Xc, Zc, Y, indexD, output_dim, weights=None):
+    """Per-output row-sum statistics of the missing-data bound over (this
+    shard of) the stacked data axis. `weights` is an optional 0/1 row mask.
+
+    Returns (Nd, Yd2, psi0_c_d, Pc_d, term4) — each a (D,)- or
+    (D, Mc, Mc)-shaped row sum."""
+    Y = jnp.asarray(Y).reshape(-1)
+    D = int(output_dim)
+    Mc = Zc.shape[0]
+    # one-hot over outputs: every per-d masked sum in the reference is a
+    # matmul against Woh (no boolean fancy-indexing => no dynamic shapes)
+    Woh = jnp.asarray(jnp.arange(D)[None, :] == jnp.asarray(indexD).reshape(-1, 1),
+                      dtype=Y.dtype)  # (N, D)
+    if weights is not None:
+        Woh = Woh * jnp.asarray(weights)[:, None]
 
     uc = _is_variational(Xc)
     psi0_c, psi1_c, psi2n_c = _gather_psi(kern_c, Xc, jnp.asarray(Zc), with_psi2n=uc)
     Ac = jsl.solve_triangular(cm["Lc"], psi1_c.T, lower=True)  # (Mc, N)
     if uc:
-        t = jsl.solve_triangular(cm["Lc"], jnp.sum(psi2n_c, axis=0), lower=True)
-        Pc = jsl.solve_triangular(cm["Lc"], t.T, lower=True).T
-    else:
-        Pc = Ac @ Ac.T
-    Pr = jnp.sum(P2r, axis=0)  # (Mr, Mr): summed row psi2 whitened
-    psi0_c_sum = jnp.sum(psi0_c)
-    psi0_r_sum = jnp.sum(cm["psi0_r"])
-
-    logL_A = (
-        -jnp.sum(Y**2)
-        - jnp.sum((Mt.T @ Pc @ Mt) * Pr)
-        - jnp.sum(Pr * St_r) * jnp.sum(Pc * St_c)
-        + 2.0 * jnp.sum(Y * (Ac.T @ Mt @ Ar))
-        - psi0_c_sum * psi0_r_sum
-        + jnp.trace(Pr) * jnp.trace(Pc)
-    )
-    logL = (-N * D / 2.0 * (LOG_2_PI - jnp.log(beta)) + beta / 2.0 * logL_A
-            + _kl_qU(cm, Mc, Mr))
-    return logL
-
-
-def svi_multiout_md_elbo(kern_r, kern_c, Xr, Xc, Zr, Zc, noise_var, Y,
-                         indexD, output_dim, qU_mean, Sr, Sc):
-    """Missing-data LVMOGP bound: Y (N, 1) stacked, indexD[n] = output of
-    row n, noise_var scalar or (D,) (heteroscedastic per output).
-
-    Reference: vardtc_svi_multiout_miss.py inference_d:60-95 summed over d —
-    the python mask loop becomes one-hot batched einsums (static shapes; the
-    full-vs-MD parity oracle pins the algebra)."""
-    Y = jnp.asarray(Y).reshape(-1)
-    N = Y.shape[0]
-    D = int(output_dim)
-    Mc, Mr = Zc.shape[0], Zr.shape[0]
-    beta = jnp.broadcast_to(1.0 / jnp.atleast_1d(jnp.asarray(noise_var)), (D,))
-    # one-hot over outputs: every per-d masked sum in the reference is a
-    # matmul against Woh (no boolean fancy-indexing => no dynamic shapes)
-    Woh = jnp.asarray(jnp.arange(D)[None, :] == jnp.asarray(indexD).reshape(-1, 1),
-                      dtype=Y.dtype)  # (N, D)
-
-    cm = _common(kern_r, kern_c, Xr, Zr, Zc, qU_mean, Sr, Sc)
-    Mt, St_c, St_r, Ar, P2r = cm["Mt"], cm["St_c"], cm["St_r"], cm["Ar"], cm["P2r"]
-
-    uc = _is_variational(Xc)
-    psi0_c, psi1_c, psi2n_c = _gather_psi(kern_c, Xc, jnp.asarray(Zc), with_psi2n=uc)
-    if uc:
         t = jsl.solve_triangular(cm["Lc"], psi2n_c.reshape(-1, Mc).T, lower=True)
         t = jnp.swapaxes(t.T.reshape(-1, Mc, Mc), 1, 2).reshape(-1, Mc)
         P2c = jsl.solve_triangular(cm["Lc"], t.T, lower=True).T.reshape(-1, Mc, Mc)
         Pc_d = jnp.einsum("nd,nmk->dmk", Woh, P2c)
-        Ac = jsl.solve_triangular(cm["Lc"], psi1_c.T, lower=True)
     else:
-        Ac = jsl.solve_triangular(cm["Lc"], psi1_c.T, lower=True)  # (Mc, N)
         Pc_d = jnp.einsum("nd,mn,kn->dmk", Woh, Ac, Ac)  # (D, Mc, Mc)
 
     Nd = jnp.sum(Woh, axis=0)                      # (D,)
     Yd2 = Woh.T @ (Y**2)                           # (D,)
     psi0_c_d = Woh.T @ psi0_c                      # (D,)
 
+    # 2 sum_{n in d} y_n (Ac_n' Mt Ar_d)
+    v = (Ac.T @ cm["Mt"]) @ cm["Ar"]               # (N, D)
+    term4 = 2.0 * jnp.einsum("n,nd,nd->d", Y, Woh, v)
+    return Nd, Yd2, psi0_c_d, Pc_d, term4
+
+
+def _md_elbo_from_stats(cm, Mc, Mr, beta, Nd, Yd2, psi0_c_d, Pc_d, term4):
+    """Replicated combine of the missing-data bound from reduced per-output
+    row statistics (reference vardtc_svi_multiout_miss.py inference_d:60-95
+    summed over d)."""
+    Mt, St_c, St_r, P2r = cm["Mt"], cm["St_c"], cm["St_r"], cm["P2r"]
     tr_Pc_d = jnp.trace(Pc_d, axis1=1, axis2=2)
     tr_P2r_d = jnp.trace(P2r, axis1=1, axis2=2)
     tr_Pc_d_Sc = jnp.einsum("dmk,mk->d", Pc_d, St_c)
@@ -194,16 +221,29 @@ def svi_multiout_md_elbo(kern_r, kern_c, Xr, Xc, Zr, Zc, noise_var, Y,
     MtPcMt = jnp.einsum("ma,dmk,kb->dab", Mt, Pc_d, Mt)  # (D, Mr, Mr)
     term2 = jnp.einsum("dab,dab->d", MtPcMt, P2r)
 
-    # 2 sum_{n in d} y_n (Ac_n' Mt Ar_d)
-    G = Ac.T @ Mt                                  # (N, Mr)
-    v = G @ Ar                                     # (N, D)
-    term4 = 2.0 * jnp.einsum("n,nd,nd->d", Y, Woh, v)
-
     logL_A_d = (-Yd2 - term2 - tr_P2r_d_Sr * tr_Pc_d_Sc + term4
                 - psi0_c_d * cm["psi0_r"] + tr_P2r_d * tr_Pc_d)
     logL = jnp.sum(-Nd / 2.0 * (LOG_2_PI - jnp.log(beta))
                    + beta / 2.0 * logL_A_d)
     return logL + _kl_qU(cm, Mc, Mr)
+
+
+def svi_multiout_md_elbo(kern_r, kern_c, Xr, Xc, Zr, Zc, noise_var, Y,
+                         indexD, output_dim, qU_mean, Sr, Sc):
+    """Missing-data LVMOGP bound: Y (N, 1) stacked, indexD[n] = output of
+    row n, noise_var scalar or (D,) (heteroscedastic per output).
+
+    Reference: vardtc_svi_multiout_miss.py inference_d:60-95 summed over d —
+    the python mask loop becomes one-hot batched einsums (static shapes; the
+    full-vs-MD parity oracle pins the algebra). Factored as row-stat
+    collection + replicated combine for the sharded variant, like
+    svi_multiout_elbo."""
+    D = int(output_dim)
+    Mc, Mr = Zc.shape[0], Zr.shape[0]
+    beta = jnp.broadcast_to(1.0 / jnp.atleast_1d(jnp.asarray(noise_var)), (D,))
+    cm = _common(kern_r, kern_c, Xr, Zr, Zc, qU_mean, Sr, Sc)
+    stats = _md_row_stats(cm, kern_c, Xc, Zc, Y, indexD, output_dim)
+    return _md_elbo_from_stats(cm, Mc, Mr, beta, *stats)
 
 
 class PosteriorMultioutput:

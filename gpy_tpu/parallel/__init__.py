@@ -58,6 +58,8 @@ __all__ = [
     "sharded_iterative_nlml_grad",
     "sharded_vardtc_elbo_and_grad",
     "sharded_bgplvm_elbo_and_grad",
+    "sharded_svi_multiout_elbo_and_grad",
+    "sharded_svi_multiout_md_elbo_and_grad",
 ]
 
 
@@ -616,4 +618,105 @@ def sharded_bgplvm_elbo_and_grad(model, mesh: Mesh, axis_name: str = "data"):
         grads = dict(grads)
         for k in sharded_keys:
             grads[k] = grads[k][:N]
+    return val, grads
+
+
+def sharded_svi_multiout_elbo_and_grad(model, mesh: Mesh, axis_name="data"):
+    """LVMOGP (Kronecker-factored SVI multiout) ELBO + gradients with the
+    (Xc, Y) data rows sharded over the mesh.
+
+    Both LVMOGP bounds are row-sums over the data axis plus replicated
+    M-space algebra — exactly the gatherPsiStat pattern of the reference's
+    distributed VarDTC (GPy var_dtc_parallel.py:72-133, Allreduce of psi
+    statistics): the per-shard row stats from
+    inference.svi_multiout._full_row_stats are psum'd, then the SAME
+    replicated combine (_elbo_from_stats) the serial bound uses runs on
+    every device — serial/sharded parity holds by construction. The
+    backward pass of the psums is the gradient Allreduce (shard_map
+    auto-reduces cotangents of replicated parameters).
+
+    model: a GPMultioutRegression. Returns (elbo, grad_raw_dict); the value
+    equals model.log_likelihood() + model.log_prior() exactly.
+    """
+    from jax import shard_map
+    from ..inference.svi_multiout import (_common, _elbo_from_stats,
+                                          _full_row_stats)
+
+    n_dev = mesh.devices.size
+    X, Y, w = pad_rows_to_multiple(np.asarray(model.X), np.asarray(model.Y),
+                                   n_dev)
+    raw = model.get_raw_dict(free_only=True)
+    D = Y.shape[1]
+
+    def elbo_fn(raw_dict, Xs, Ys, ws):
+        m = model.with_raw_dict(raw_dict)
+        Sr, Sc = m._qU_cov()
+        Zr, Zc = jnp.asarray(m.Z_row), jnp.asarray(m.Z)
+        s2 = m.likelihood.gaussian_variance(None)
+        cm = _common(m.kern_row, m.kern, m.X_row, Zr, Zc,
+                     jnp.asarray(m.qU_mean), Sr, Sc)
+        stats = _full_row_stats(cm, m.kern, Xs, Zc, Ys, weights=ws)
+        # === the Allreduce (gatherPsiStat) of the row-sum statistics ===
+        stats = jax.lax.psum(stats, axis_name)
+        elbo = _elbo_from_stats(cm, Zc.shape[0], Zr.shape[0], D, 1.0 / s2,
+                                *stats)
+        return elbo - m.X_row.KL() + m.log_prior()
+
+    smapped = shard_map(
+        jax.value_and_grad(elbo_fn),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+    )
+    val, grads = jax.jit(smapped)(
+        {k: jnp.asarray(v) for k, v in raw.items()},
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(w))
+    return val, grads
+
+
+def sharded_svi_multiout_md_elbo_and_grad(model, mesh: Mesh, axis_name="data"):
+    """Missing-data LVMOGP bound + gradients with the stacked (X, Y, indexD)
+    rows sharded over the mesh (see sharded_svi_multiout_elbo_and_grad; the
+    per-output one-hot stats of _md_row_stats are psum'd the same way).
+
+    model: a GPMultioutRegressionMD (incl. heteroscedastic noise — beta is
+    replicated (D,) algebra). Returns (elbo, grad_raw_dict) equal to the
+    serial objective exactly.
+    """
+    from jax import shard_map
+    from ..inference.svi_multiout import (_common, _md_elbo_from_stats,
+                                          _md_row_stats)
+
+    n_dev = mesh.devices.size
+    X = np.asarray(model.X)
+    Y = np.asarray(model.Y).reshape(-1, 1)
+    idx = np.asarray(model.indexD).reshape(-1)
+    X, Y, w = pad_rows_to_multiple(X, Y, n_dev)
+    if idx.shape[0] < X.shape[0]:
+        idx = np.concatenate([idx, np.zeros(X.shape[0] - idx.shape[0], idx.dtype)])
+    raw = model.get_raw_dict(free_only=True)
+    D = int(model.output_dim)
+
+    def elbo_fn(raw_dict, Xs, Ys, ids, ws):
+        m = model.with_raw_dict(raw_dict)
+        Sr, Sc = m._qU_cov()
+        Zr, Zc = jnp.asarray(m.Z_row), jnp.asarray(m.Z)
+        s2 = m.likelihood.gaussian_variance(None)
+        beta = jnp.broadcast_to(1.0 / jnp.atleast_1d(jnp.asarray(s2)), (D,))
+        cm = _common(m.kern_row, m.kern, m.X_row, Zr, Zc,
+                     jnp.asarray(m.qU_mean), Sr, Sc)
+        stats = _md_row_stats(cm, m.kern, Xs, Zc, Ys, ids, D, weights=ws)
+        stats = jax.lax.psum(stats, axis_name)
+        elbo = _md_elbo_from_stats(cm, Zc.shape[0], Zr.shape[0], beta, *stats)
+        return elbo - m.X_row.KL() + m.log_prior()
+
+    smapped = shard_map(
+        jax.value_and_grad(elbo_fn),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+    )
+    val, grads = jax.jit(smapped)(
+        {k: jnp.asarray(v) for k, v in raw.items()},
+        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(idx), jnp.asarray(w))
     return val, grads
