@@ -172,6 +172,54 @@ def _block_kernel_v2(a_ref, lt_ref, at_ref):
             at_ref[:] = at_ref[:] - upd
 
 
+def _block_kernel_v2_multi(a_ref, lt_ref, at_ref, *, n_slabs):
+    """Panelized chol of (8*n_slabs, 128, 128) blocks with the slabs'
+    independent dependency chains INTERLEAVED in one straight-line program.
+
+    The r5 component breakdown showed the batched path is KERNEL-dominated
+    and superlinear in slabs when the slabs run as separate grid steps
+    (C=8 kernels 0.40 ms -> C=16 1.12 ms: each grid step's column loop is a
+    serial dependency chain of small VPU ops, so two steps pay the latency
+    twice with no overlap). Here each micro-step issues the same op for
+    every slab back to back — the chains are independent, so the in-order
+    VLIW scheduler fills one slab's stalls with the other's work. Same math
+    per slab as _block_kernel_v2.
+    """
+    C, n, _ = a_ref.shape
+    npan = n // _PW
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    subl8 = lax.broadcasted_iota(jnp.int32, (1, _PW, 1), 1)
+    f0 = jnp.float32(0.0)
+    at_ref[:] = a_ref[:]
+
+    for p in range(npan):
+        base = p * _PW
+        Rs = [at_ref[s * 8:(s + 1) * 8, base:base + _PW, :]
+              for s in range(n_slabs)]
+        for t in range(_PW):
+            k = base + t
+            rows = [R[:, t:t + 1, :] for R in Rs]
+            ds = [jnp.sum(jnp.where(lane == k, r, f0), axis=2, keepdims=True)
+                  for r in rows]
+            invs = [jnp.float32(1.0) / jnp.sqrt(d) for d in ds]
+            lrows = [jnp.where(lane >= k, r, f0) * iv
+                     for r, iv in zip(rows, invs)]
+            lcols = [jnp.sum(jnp.where(lane == k, R, f0), axis=2,
+                             keepdims=True) * iv
+                     for R, iv in zip(Rs, invs)]
+            Rs = [jnp.where(subl8 == t, lr, R - jnp.where(subl8 > t, lc, f0) * lr)
+                  for R, lr, lc in zip(Rs, lrows, lcols)]
+        for s in range(n_slabs):
+            lt_ref[s * 8:(s + 1) * 8, base:base + _PW, :] = Rs[s]
+        if p + 1 < npan:
+            for s in range(n_slabs):
+                upd = lax.dot_general(
+                    Rs[s], Rs[s], (((1,), (1,)), ((0,), (0,))),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                at_ref[s * 8:(s + 1) * 8] = at_ref[s * 8:(s + 1) * 8] - upd
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_block_chol_inv(A, interpret=False):
     """(L, L^-1) of a (C, 128, 128) batch of PSD blocks — one program (v1)."""
@@ -191,6 +239,10 @@ def pallas_block_chol_inv(A, interpret=False):
 
 
 _KSTYLE = os.environ.get("GPY_TPU_CHOL_KERNEL_STYLE", "outbuf")
+# slab-interleaved kernel for 8 < C <= 32 (GPY_TPU_CHOL_INTERLEAVE=0 reverts
+# to sequential 8-slab grid steps); VMEM at C=32: 3 x 2 MB buffers, fine
+_INTERLEAVE = os.environ.get("GPY_TPU_CHOL_INTERLEAVE", "1") != "0"
+_MAX_INTERLEAVE = 32
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -208,6 +260,16 @@ def pallas_block_chol(A, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     C, n, _ = A.shape
+    if 8 < C <= _MAX_INTERLEAVE and C % 8 == 0 and _INTERLEAVE:
+        # slab-interleaved kernel: one program, independent chains overlap
+        out = pl.pallas_call(
+            functools.partial(_block_kernel_v2_multi, n_slabs=C // 8),
+            out_shape=[jax.ShapeDtypeStruct((C, n, n), jnp.float32)] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            interpret=interpret,
+        )(A.astype(jnp.float32))
+        return jnp.swapaxes(out[0], -1, -2)
     if C > 8 and C % 8 == 0:
         g, cb = C // 8, 8
     else:
@@ -277,6 +339,82 @@ def rec_pallas_chol_inv(A, leaf=_B, interpret=False):
         [jnp.concatenate([L11, z], -1), jnp.concatenate([L21, L22], -1)], -2)
     Li = jnp.concatenate(
         [jnp.concatenate([L11i, z], -1), jnp.concatenate([Li21, L22i], -1)], -2)
+    return L, Li
+
+
+def pallas_batched_chol_inv_ll(K, interpret=False, block=None):
+    """Left-looking variant of pallas_batched_chol_inv (same contract).
+
+    The right-looking form rematerializes the shrinking (C, rem, rem)
+    trailing matrix in HBM every block column — at (16, 1024, 1024) that is
+    ~440 MB of reads+writes (measured as the dominant 'glue' share of the
+    r4 breakdown: 0.75 ms of 2.14). Left-looking computes each block
+    column's Schur correction lazily as ONE batched matmul against the
+    already-factored panels (re-READS of L, ~88 MB total, no big writes),
+    so the glue drops to near the HBM floor of L itself. Identical math —
+    the same update terms are summed in a different order; matmuls run at
+    the CHOL_UPDATE_PREC policy like the right-looking form.
+    """
+    orig_shape = K.shape
+    n = orig_shape[-1]
+    batch = orig_shape[:-2]
+    C = 1
+    for b in batch:
+        C *= b
+    K = K.reshape((C, n, n))
+    _Bv = _B if block is None else int(block)
+    nb = -(-n // _Bv)
+    npad = nb * _Bv
+    if npad != n:
+        pad = npad - n
+        eye_pad = jnp.broadcast_to(jnp.eye(pad, dtype=K.dtype), (C, pad, pad))
+        K = jnp.concatenate([
+            jnp.concatenate([K, jnp.zeros((C, n, pad), K.dtype)], -1),
+            jnp.concatenate([jnp.zeros((C, pad, n), K.dtype), eye_pad], -1),
+        ], -2)
+
+    T = lambda X: jnp.swapaxes(X, -1, -2)  # noqa: E731
+    col_blocks = []   # each (C, npad - j*B, B): rows j*B.. of block column j
+    dinvs = []
+    for j in range(nb):
+        o = j * _Bv
+        Acol = K[:, o:, o:o + _Bv]                  # (C, rem, B)
+        if j:
+            # lazy Schur correction: rows >= o of sum_{k<j} L[:,k] L[j,k]'
+            Lrows = jnp.concatenate(
+                [cb[:, (o - (k * _Bv)):, :] for k, cb in enumerate(col_blocks)],
+                -1)                                  # (C, rem, j*B)
+            Lj = Lrows[:, :_Bv, :]                   # (C, B, j*B): L[j, :j]
+            Acol = Acol - _mm(Lrows, T(Lj))
+        Ablk = Acol[:, :_Bv, :]
+        Ljj = pallas_block_chol(Ablk, interpret=interpret)
+        Dinv = _tri_inv_128(Ljj)
+        dinvs.append(Dinv)
+        P = _mm(Acol[:, _Bv:, :], T(Dinv))           # panel below diagonal
+        col_blocks.append(jnp.concatenate([Ljj, P], 1))
+    L = jnp.concatenate(
+        [jnp.concatenate([jnp.zeros((C, j * _Bv, _Bv), K.dtype), cb], 1)
+         for j, cb in enumerate(col_blocks)], -1)
+
+    items = [(dinv, _Bv, j * _Bv) for j, dinv in enumerate(dinvs)]
+    while len(items) > 1:
+        nxt = []
+        for p in range(0, len(items) - 1, 2):
+            Ai, sa, oa = items[p]
+            Ci, sc, oc = items[p + 1]
+            Bblk = L[:, oc:oc + sc, oa:oa + sa]
+            low = -_mm(Ci, _mm(Bblk, Ai))
+            comb = jnp.concatenate([
+                jnp.concatenate([Ai, jnp.zeros((C, sa, sc), K.dtype)], -1),
+                jnp.concatenate([low, Ci], -1)], -2)
+            nxt.append((comb, sa + sc, oa))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    Li = items[0][0]
+
+    L = L[:, :n, :n].reshape(orig_shape)
+    Li = Li[:, :n, :n].reshape(orig_shape)
     return L, Li
 
 

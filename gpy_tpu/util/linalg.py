@@ -106,32 +106,16 @@ def _batched_chol_inv(K):
             n_batch *= b
         if (config.use_pallas and n_batch <= 64
                 and pallas_chol_available(K)):
-            # v2 (panelized, batched trailing dot, gridded kernel) wins to
-            # C<=8; past that the 2x2 recursion with v1 (chol+inverse)
-            # leaves wins (C=16 n=1000: 1.92 vs 2.14 ms — it carries leaf
-            # inverses up instead of 8 sequential tri_inv stacks), when the
-            # power-of-two padding it needs is not too wasteful
-            from ..ops.pallas_chol import (rec_pallas_chol_inv,
-                                           _next_pow2_128)
+            # left-looking blocked form (r5): each block column's Schur
+            # correction is ONE batched matmul against the already-factored
+            # panels, instead of rematerializing the shrinking (C, rem, rem)
+            # trailing matrix in HBM every column (the dominant glue cost of
+            # the r4 right-looking/recursive paths). Measured n=1000:
+            # C=8 0.71 vs 0.99 (v2), C=16 1.25 vs 1.83 (rec) ms — wins at
+            # every batch count, identical math (same updates, new order).
+            from ..ops.pallas_chol import pallas_batched_chol_inv_ll
 
-            p = _next_pow2_128(n)
-            if n_batch > 8 and p <= 1.3 * n:
-                pad = p - n
-                if pad:
-                    batch = K.shape[:-2]
-                    eye_pad = jnp.broadcast_to(
-                        jnp.eye(pad, dtype=K.dtype), (*batch, pad, pad))
-                    Kp = jnp.concatenate([
-                        jnp.concatenate(
-                            [K, jnp.zeros((*batch, n, pad), K.dtype)], -1),
-                        jnp.concatenate(
-                            [jnp.zeros((*batch, pad, n), K.dtype), eye_pad],
-                            -1)], -2)
-                else:
-                    Kp = K
-                L, Li = rec_pallas_chol_inv(Kp)
-                return L[..., :n, :n], Li[..., :n, :n]
-            return pallas_batched_chol_inv(K, version=2)
+            return pallas_batched_chol_inv_ll(K)
         return rec_chol_inv(K)
     L = jnp.linalg.cholesky(K)
     eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
