@@ -185,7 +185,8 @@ class IterativeGaussianInference(LatentFunctionInference):
 
     def __init__(self, max_cg=64, n_probes=8, block=2048, seed=0,
                  materialize="auto", materialize_max_n=50_000, precond_rank=0,
-                 gram_dtype=None, fused=False, fused_accum="f32x3"):
+                 gram_dtype=None, fused=False, fused_accum="f32x3",
+                 fast_grad="auto"):
         self.max_cg = max_cg
         self.n_probes = n_probes
         self.block = block
@@ -241,6 +242,13 @@ class IterativeGaussianInference(LatentFunctionInference):
         # solves but BIASES the SLQ logdet through stalled CG coefficients —
         # measured ~10% NLML error at N=50k; do not use for training)
         self.fused_accum = fused_accum
+        # fast_grad: on the materialized path with an RBF kernel, compute the
+        # gradient surrogate FROM the stored Gram (moment-weighted matvec
+        # columns ride the same 128 free MXU lanes as the CG sweeps) instead
+        # of rebuilding the differentiable Gram blockwise twice (fwd + VJP).
+        # "auto" engages when eligible (see _rbf_moment_surrogate); False
+        # always uses the generic autodiff rebuild.
+        self.fast_grad = fast_grad
         self._jit_cache = {}
 
     def _effective_fused(self, kern, N, dtype=None):
@@ -258,6 +266,69 @@ class IterativeGaussianInference(LatentFunctionInference):
             self.fused
             or (self.materialize == "auto" and N > self.materialize_max_n
                 and f32_ok))
+
+    def _rbf_moment_surrogate(self, kern, mv_sg, X, noise, alpha, Wp, Z, D):
+        """Gradient surrogate for RBF kernels computed FROM the stored Gram.
+
+        The generic surrogate rebuilds the differentiable Gram blockwise for
+        KU and again in its VJP — at N=50k that is ~78 ms of the 422 ms
+        bf16 NLML+grad (both passes exp-bound). For an RBF kernel every
+        dK/dtheta contraction of the surrogate quadratics q = u'Kv is a
+        weighted DISTANCE MOMENT of K itself:
+
+            dq/d var  = (sum_ij u_i v_j k_ij) / var
+            dq/d ls_d = (sum_ij u_i v_j k_ij d2_ij,d) / ls_d^3,
+            sum_ij u_i v_j k_ij d2_ij,d
+              = (u*x_d^2)'(K v) - 2 (u*x_d)'(K (v*x_d)) + u'(K (v*x_d^2)),
+
+        so every moment reduces to matvecs of the STORED stop-gradient K
+        against moment-weighted columns. The (D+P)(1+2*Dx) columns ride the
+        same <=128 free MXU lanes as the CG sweeps: the whole gradient pass
+        costs ONE extra sweep (~7 ms at N=50k) instead of two Gram
+        rebuilds. The returned scalar's autodiff at the current theta
+        equals the closed forms (stop-gradient moments times differentiable
+        reparameterizations); its value cancels in the caller's sg-shift.
+        In bf16-gram mode gradients inherit the store's quantization like
+        the solve does (opt-in throughput mode). Falls back to the generic
+        rebuild when X is itself differentiated (a tracer), for non-RBF
+        kernels, or when the moment columns would exceed 128 lanes.
+        """
+        P = Wp.shape[1]
+        Xa = lax.stop_gradient(kern._slice(X))
+        Dx = Xa.shape[1]
+        noise_sg = lax.stop_gradient(noise)
+        V = jnp.concatenate([alpha, Wp], axis=1)           # (N, R), stop-grad
+        Ucols = jnp.concatenate([lax.stop_gradient(alpha), Z], axis=1)
+        R = D + P
+        cols = [V]
+        for d in range(Dx):
+            cols.append(V * Xa[:, d:d + 1])
+        for d in range(Dx):
+            cols.append(V * (Xa[:, d:d + 1] ** 2))
+        RHS = jnp.concatenate(cols, axis=1)
+        MV = mv_sg(RHS) - noise_sg[:, None] * RHS          # K-only products
+        KV = MV[:, :R]
+        # per-pair weights: the caller's 0.5*q_alpha - 0.5*(D/P)*q_probe
+        w = jnp.concatenate([jnp.full((D,), 0.5, V.dtype),
+                             jnp.full((P,), -0.5 * D / P, V.dtype)])
+        S0 = jnp.sum(w * jnp.sum(Ucols * KV, axis=0))
+        ls = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(kern.lengthscale)), (Dx,))
+        var = jnp.asarray(kern.variance)
+        sur = lax.stop_gradient(S0) / lax.stop_gradient(var) * var
+        for d in range(Dx):
+            KVx = MV[:, R * (1 + d):R * (2 + d)]
+            KVx2 = MV[:, R * (1 + Dx + d):R * (2 + Dx + d)]
+            xd = Xa[:, d:d + 1]
+            Sd = (jnp.sum(w * jnp.sum(Ucols * (xd ** 2) * KV, axis=0))
+                  - 2.0 * jnp.sum(w * jnp.sum(Ucols * xd * KVx, axis=0))
+                  + jnp.sum(w * jnp.sum(Ucols * KVx2, axis=0)))
+            sur = sur - lax.stop_gradient(Sd) / (2.0 * ls[d] ** 2)
+        # diagonal noise term of the quadratics — differentiable in the
+        # likelihood parameters through `noise`
+        rowdiag = jnp.sum((Ucols * V) * w[None, :], axis=1)  # (N,)
+        sur = sur + jnp.sum(lax.stop_gradient(rowdiag) * noise)
+        return sur
 
     def inference(self, kern, X, likelihood, Y, mean_function=None, Y_metadata=None):
         # Eager calls (the GP.posterior property, eager log_likelihood) would
@@ -415,16 +486,27 @@ class IterativeGaussianInference(LatentFunctionInference):
         # custom-VJP Pallas matvec keeps this pass tile-resident too (the
         # theta-moments kernel replaces the blockwise dK contraction), so
         # fused=True is differentiable end-to-end (VERDICT r2 item 7)
-        U = jnp.concatenate([alpha, Wp], axis=1)
-        if do_fused:
-            from ..ops.pallas_gram_matvec import kern_gram_matvec_fused_diff
+        import jax.core as jcore
 
-            KU = kern_gram_matvec_fused_diff(kern, X, U, noise,
-                                             accum=self.fused_accum)
+        fast_ok = (self.fast_grad is not False and do_mat
+                   and mean_function is None
+                   and not isinstance(X, jcore.Tracer)
+                   and type(kern).__name__ == "RBF"
+                   and (D + self.n_probes) * (1 + 2 * kern.input_dim) <= 128)
+        if fast_ok:
+            surrogate = self._rbf_moment_surrogate(
+                kern, mv_sg, X, noise, alpha, Wp, Z, D)
         else:
-            KU = gram_matvec(kern, X, U, noise=noise, block=self.block)
-        q_alpha = jnp.sum(alpha * KU[:, :D])
-        q_probe = jnp.sum(Z * KU[:, D:])  # z_i' (K w_i) == w_i' dK z_i terms
-        surrogate = 0.5 * q_alpha - 0.5 * (D / self.n_probes) * q_probe
+            U = jnp.concatenate([alpha, Wp], axis=1)
+            if do_fused:
+                from ..ops.pallas_gram_matvec import kern_gram_matvec_fused_diff
+
+                KU = kern_gram_matvec_fused_diff(kern, X, U, noise,
+                                                 accum=self.fused_accum)
+            else:
+                KU = gram_matvec(kern, X, U, noise=noise, block=self.block)
+            q_alpha = jnp.sum(alpha * KU[:, :D])
+            q_probe = jnp.sum(Z * KU[:, D:])  # z_i'(K w_i) == w_i' dK z_i
+            surrogate = 0.5 * q_alpha - 0.5 * (D / self.n_probes) * q_probe
         log_marginal = lax.stop_gradient(value - lax.stop_gradient(surrogate)) + surrogate
         return alpha, log_marginal, noise

@@ -60,7 +60,8 @@ def make_gram_matvec(kern, X, noise, block=2048):
     return mv
 
 
-def gram_materialize(kern, X, noise=None, block=2048, out_dtype=None):
+def gram_materialize(kern, X, noise=None, block=2048, out_dtype=None,
+                     symmetric=False):
     """Materialize K(X, X) + diag(noise) in row blocks -> (N, N).
 
     For stop-gradient CG loops that do MANY K-products (iterative exact-GP
@@ -71,12 +72,66 @@ def gram_materialize(kern, X, noise=None, block=2048, out_dtype=None):
     O(block * N) on top of the (N, N) result (f32 at N=50k: 10GB, which a
     16GB v5e chip holds).
 
+    symmetric=True: only the lower-triangle block tiles are computed, each
+    written twice (tile + transpose), halving the exp count. MEASURED
+    SLOWER on v5e (N=50k bf16 NLML+grad 425 -> 489 ms): the (block, block)
+    tile scan with two dynamic_update_slice writes per step loses more to
+    per-tile overhead and broken producer fusion than the halved
+    transcendentals save over the fused (block, N) row-strip lax.map.
+    Kept off by default as a documented negative result; exact parity with
+    the row-strip build is pinned by tests.
+
     Returns the padded (P, P) matrix and row count P (P = ceil(N/block) *
     block); padded rows/cols are zero so a zero-padded RHS is safe.
     """
+    import numpy as _np
+
     N = X.shape[0]
     Xp, n_tot = _pad_rows(X, block)
     blocks = n_tot // block
+
+    if symmetric and blocks > 1:
+        row_ok_v = (jnp.arange(n_tot) < N).astype(X.dtype)
+        if noise is not None:
+            noise_p = jnp.concatenate(
+                [jnp.asarray(noise, X.dtype),
+                 jnp.zeros((n_tot - N,), X.dtype)]) if n_tot != N else (
+                jnp.asarray(noise, X.dtype))
+        else:
+            noise_p = jnp.zeros((n_tot,), X.dtype)
+        ii, jj = _np.tril_indices(blocks)
+        offs_i = jnp.asarray(ii * block, jnp.int32)
+        offs_j = jnp.asarray(jj * block, jnp.int32)
+        dt = jnp.dtype(out_dtype) if out_dtype is not None else Xp.dtype
+        ar = jnp.arange(block, dtype=jnp.int32)
+        Dx = X.shape[1]
+
+        z32 = jnp.int32(0)  # python 0 would promote the index pair to i64
+        # under x64 mode and dynamic_slice requires uniform index dtypes
+
+        def body(K, offs):
+            oi, oj = offs
+            xi = lax.dynamic_slice(Xp, (oi, z32), (block, Dx))
+            xj = lax.dynamic_slice(Xp, (oj, z32), (block, Dx))
+            Kb = kern.K(xi, xj)
+            ri = lax.dynamic_slice(row_ok_v, (oi,), (block,))
+            rj = lax.dynamic_slice(row_ok_v, (oj,), (block,))
+            Kb = Kb * ri[:, None] * rj[None, :]
+            # diagonal noise: nonzero only on diagonal tiles (uniform mask,
+            # no branch — off-diagonal tiles get an all-zero mask)
+            m = ((oi + ar)[:, None] == (oj + ar)[None, :]).astype(Kb.dtype)
+            nz = lax.dynamic_slice(noise_p, (oi,), (block,))
+            Kb = Kb + m * nz[:, None]
+            Kb = Kb.astype(dt)
+            K = lax.dynamic_update_slice(K, Kb, (oi, oj))
+            # mirror (diagonal tiles: rewrite with the transpose — symmetric,
+            # harmless; keeps the body branch-free)
+            K = lax.dynamic_update_slice(K, Kb.T, (oj, oi))
+            return K, ()
+
+        K0 = jnp.zeros((n_tot, n_tot), dt)
+        K, _ = lax.scan(body, K0, (offs_i, offs_j))
+        return K, n_tot
     Xb = Xp.reshape(blocks, block, X.shape[1])
     row_ok = (jnp.arange(n_tot) < N).astype(X.dtype)
     col_ids = jnp.arange(n_tot)

@@ -229,3 +229,55 @@ def test_fused_inference_gradient_matches_blockwise():
     ca = float(np.sum(np.asarray(gf) * np.asarray(gb))
                / (np.linalg.norm(np.asarray(gf)) * np.linalg.norm(np.asarray(gb))))
     assert ca > 0.999, ca
+
+
+def test_fast_grad_moment_surrogate_matches_autodiff():
+    """The stored-Gram RBF moment surrogate (fast_grad) must reproduce the
+    generic autodiff-rebuild gradients exactly (same quadratics, closed-form
+    dK contractions; f64 store on CPU -> tight tolerance). Covers non-ARD,
+    ARD, and multi-output Y."""
+    from gpy_tpu.inference.iterative import IterativeGaussianInference
+    from gpy_tpu.models import GPRegression
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(3)
+    n = 300
+    X = rng.random((n, 3)) * 5.0
+    for ARD, D in ((False, 1), (True, 2)):
+        Y = np.sin(X[:, :1]) + 0.05 * rng.standard_normal((n, D))
+        kern = gk.RBF(3, ARD=ARD)
+        kern.lengthscale = [1.1, 0.9, 1.3] if ARD else 1.2
+        ms = []
+        for fg in ("auto", False):
+            k2 = kern.copy()
+            m = GPRegression(X, Y, kernel=k2, noise_var=0.1,
+                             inference_method=IterativeGaussianInference(
+                                 max_cg=24, n_probes=4, block=128,
+                                 materialize=True, fast_grad=fg))
+            ms.append(m)
+        flat = ms[0].get_flat_raw()
+        v_fast, g_fast = ms[0]._get_objgrad()(flat)
+        v_auto, g_auto = ms[1]._get_objgrad()(flat)
+        np.testing.assert_allclose(float(v_fast), float(v_auto), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_auto),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_gram_materialize_symmetric_parity():
+    """The (kept, non-default) lower-triangle mirrored build is bit-equal to
+    the row-strip build, incl. padding rows, noise diagonal, and bf16 cast."""
+    from gpy_tpu.ops.gram_matvec import gram_materialize
+    import gpy_tpu.kern as gk
+
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.random((700, 3)) * 5)   # 700 % 256 != 0: padding
+    noise = jnp.asarray(0.1 + 0.01 * rng.random(700))
+    k = gk.RBF(3, ARD=True)
+    for dt in (None, "bfloat16"):
+        Ks, Ps = gram_materialize(k, X, noise=noise, block=256,
+                                  symmetric=True, out_dtype=dt)
+        Kr, Pr = gram_materialize(k, X, noise=noise, block=256,
+                                  symmetric=False, out_dtype=dt)
+        assert Ps == Pr
+        assert jnp.max(jnp.abs(Ks.astype(jnp.float32)
+                               - Kr.astype(jnp.float32))) == 0.0
