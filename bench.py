@@ -563,6 +563,44 @@ def main():
             record(extra, "predict_warm_ms_sparse_n50k", ts, ndigits=1,
                    retried=retried)
 
+    # cross-process cold predict with a now-WARM compilation cache: the
+    # in-process predict_cold above pays the one-time cache POPULATION
+    # (measured ~45 s on a fresh .jax_cache vs 27 s with no cache at all);
+    # every later process gets the cache HIT (~4.3 s — a 6x cold-start win,
+    # VERDICT r4 next #6). A subprocess measures that steady-state number.
+    with stage(extra, "predict_coldstart_cached", 300):
+        import subprocess
+
+        script = (
+            "import os,time,numpy as np\n"
+            "import jax, jax.numpy as jnp\n"
+            "if os.environ.get('GPY_BENCH_CPU') == '1':\n"
+            "    jax.config.update('jax_platforms', 'cpu')\n"
+            "import gpy_tpu\n"
+            "from gpy_tpu.models import GPRegression\n"
+            "rng=np.random.default_rng(0)\n"
+            f"n={'512' if SMOKE else '4096'}\n"
+            "Xp=rng.random((n,4)).astype(np.float32)\n"
+            "Yp=(np.sin(Xp[:,:1])+0.1*rng.standard_normal((n,1))).astype(np.float32)\n"
+            "m=GPRegression(Xp,Yp,noise_var=0.1)\n"
+            "Xq=rng.random((500,4)).astype(np.float32)\n"
+            "t0=time.perf_counter(); mu,var=m.predict(Xq)\n"
+            "np.asarray(mu),np.asarray(var)\n"
+            "print('COLD_MS', (time.perf_counter()-t0)*1e3)\n")
+        env = dict(os.environ)
+        env["GPY_TPU_X64"] = "0"
+        r = subprocess.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=280,
+                           cwd=_REPO)
+        for ln in r.stdout.splitlines():
+            if ln.startswith("COLD_MS"):
+                extra["predict_cold_cached_ms_exact_n4096"] = round(
+                    float(ln.split()[1]), 1)
+                break
+        else:
+            extra["predict_coldstart_cached_error"] = (
+                r.stderr.strip()[-120:] or "no COLD_MS line")
+
     # --- SVGP at N=10M on one chip (BASELINE config #4 scale axis; dataset
     # is passed to the compiled chunk as an argument, never a captured
     # constant) --------------------------------------------------------------
@@ -617,7 +655,7 @@ def main():
 
     # --- classification: EP / Laplace / EPDTC on the chip (BASELINE config
     # #3: "GP classification, EP + Laplace, banana") -------------------------
-    with stage(extra, "classification", 420):
+    with stage(extra, "classification", 600):
         from gpy_tpu.core.sparse_gp import SparseGP
         from gpy_tpu.inference.ep import EP
         from gpy_tpu.inference.epdtc import EPDTC
@@ -707,7 +745,14 @@ def main():
         extra["laplace_ms_per_newton_n2048"] = round(
             max(t10 - t2, 1e-9) / 8.0 * 1e3, 3)
 
-        # EPDTC: sparse EP at M=512 on a bigger banana
+    # EPDTC gets its own stage: it shared the classification alarm budget
+    # and starved it on the r5 first run (its compile is the stage's
+    # biggest; compile-cache population roughly doubles first-run compiles)
+    with stage(extra, "epdtc", 420):
+        from gpy_tpu.core.sparse_gp import SparseGP
+        from gpy_tpu.inference.epdtc import EPDTC
+        from gpy_tpu.likelihoods import Bernoulli
+
         n_ep4, m_ep4 = (512, 64) if SMOKE else (4096, 512)
         Xcl4, Ycl4 = _banana(n_ep4)
         Zcl = Xcl4[rng.permutation(n_ep4)[:m_ep4]].copy()
@@ -847,22 +892,38 @@ def main():
     # observed) — bracketing the run lets a reader discount drifted stages
     extra["dispatch_floor_ms_end"] = round(measure_dispatch_floor(jax, jnp), 1)
 
-    # printed line: compact (no spread table — that lives in BENCH_FULL.json)
-    # with headline fields at the END so the driver's 2000-char stdout tail
-    # keeps them even if the front is truncated
+    # printed line: compact (no spread table — that lives in the committed
+    # BENCH_FULL.json) with headline fields at the END so the driver's
+    # 2000-char stdout tail keeps them even if the front is truncated. The
+    # r5 first run printed 2066 chars and would have lost its opening brace
+    # to the tail — drop keys that BENCH_FULL carries anyway until the line
+    # fits with margin.
+    printed = dict(extra)
+    if not SMOKE:
+        printed.pop("smoke_mode", None)
+    for k in list(printed):
+        if k.startswith("dispatch_floor_ms_") and k != "dispatch_floor_ms_end":
+            printed.pop(k)
+    printed.pop("hmc_median_by_chains_n1000", None)  # in BENCH_FULL + spread
     out = {
-        "full_results": "BENCH_FULL.json",
-        "extra": _order_for_tail(extra),
+        "extra": _order_for_tail(printed),
         "metric": "svgp_elbo_steps_per_s",
         "value": round(steps_per_s, 3),
         "value_median": svgp_median,
         "unit": "steps/s (N=100k, M=512, B=4096, RBF-ARD, 1 chip)",
         "vs_baseline": round(vs_baseline, 2),
     }
-    _FULL.update(out)
+    line = json.dumps(out)
+    if len(line) > 1900:  # still long: drop the long-tail section from the
+        for k in list(out["extra"]):  # line (committed artifact keeps it)
+            if k.split("_")[0] in ("kron", "grid", "warped", "tp",
+                                   "multioutput", "lvmogp"):
+                out["extra"].pop(k)
+        line = json.dumps(out)
+    _FULL.update({k: v for k, v in out.items() if k != "extra"})
     _FULL["extra"] = extra
     flush_full()
-    print(json.dumps(out))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -153,7 +153,10 @@ def _batched_jitchol_inv(K):
 
         def body(s):
             ok, jit_amt, tries = s
-            Lt = jnp.linalg.cholesky(A_sg + jit_amt[..., None, None] * eye)
+            # probe with the SAME batched factorization the final call runs
+            # (Pallas/blocked) — the native chol can accept a jitter the
+            # blocked path still NaNs on (see _find_jitter)
+            Lt = _batched_chol_inv(A_sg + jit_amt[..., None, None] * eye)[0]
             ok_new = jnp.all(jnp.isfinite(Lt), axis=(-2, -1))
             jit_next = jnp.where(ok | ok_new, jit_amt, jit_amt * 10.0)
             return ok | ok_new, jit_next, tries + 1
@@ -267,6 +270,14 @@ def _find_jitter(ok0, A_sg: jax.Array, jitter0: jax.Array, maxtries: int):
 
     Runs on a stop_gradient'd copy (while_loop is not reverse-differentiable).
     Returns 0 when no jitter is needed (ok0 True: loop body never executes).
+
+    The probe MUST be the same factorization the caller will run on the
+    selected jitter (cholesky_auto: blocked recursion above the TPU
+    threshold). Probing with the native chol let the ladder accept a jitter
+    the blocked 'high'-trailing-update chol still NaNs on — at n=2048 a
+    marginal classification Gram passed the native probe at 1e-6*diag and
+    the final blocked factorization silently returned NaNs (r5 bug: the
+    Laplace mode finder then 'converged' to f=0 in one iteration on TPU).
     """
     n = A_sg.shape[-1]
     eye = jnp.eye(n, dtype=A_sg.dtype)
@@ -277,7 +288,7 @@ def _find_jitter(ok0, A_sg: jax.Array, jitter0: jax.Array, maxtries: int):
 
     def body(state):
         _, jit_amount, tries = state
-        ok = _chol_ok(jnp.linalg.cholesky(A_sg + jit_amount * eye))
+        ok = _chol_ok(cholesky_auto(A_sg + jit_amount * eye))
         return ok, jnp.where(ok, jit_amount, jit_amount * 10.0), tries + 1
 
     _, jit_used, _ = lax.while_loop(cond, body, (ok0, jitter0, jnp.array(0)))
