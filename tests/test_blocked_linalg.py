@@ -232,3 +232,33 @@ def test_exact_inv_terms_vmapped_grad():
                                    rtol=1e-8, atol=1e-9)
         np.testing.assert_allclose(np.asarray(gv[1][b]), np.asarray(g1[1]),
                                    rtol=1e-8, atol=1e-9)
+
+
+def test_jitter_ladder_probes_with_the_result_factorization(monkeypatch):
+    """r5 regression: the jitter ladder must probe with the SAME cholesky
+    that produces the final result. The old code probed with the native
+    chol: a jitter the native probe accepted could still NaN the blocked
+    factorization (on TPU at n=2048 this silently returned a NaN L and the
+    Laplace mode finder 'converged' to f=0). Simulated here with a chol
+    that fails below a diagonal threshold: the ladder must escalate until
+    the ACTUAL factorization succeeds."""
+    import jax.numpy as jnp
+    import gpy_tpu.util.linalg as ul
+
+    real = ul.cholesky_auto
+
+    def picky_chol(A, *a, **k):
+        # fails (NaN) unless the mean diagonal reaches 0.6 — models the
+        # blocked path being stricter than the native probe
+        L = real(A, *a, **k)
+        dm = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1))
+        return jnp.where(dm >= 0.6, L, jnp.full_like(L, jnp.nan))
+
+    monkeypatch.setattr(ul, "cholesky_auto", picky_chol)
+    A = 0.5 * jnp.eye(16)   # PD; native chol fine; picky chol needs jitter
+    L = ul.jitchol(A, maxtries=10)
+    assert np.all(np.isfinite(np.asarray(L))), (
+        "ladder accepted a jitter the result factorization cannot handle")
+    # the applied jitter must be the level the picky chol needed (>= 0.1)
+    rec = float(np.asarray(L)[0, 0]) ** 2 - 0.5
+    assert rec >= 0.1 - 1e-9, rec
