@@ -149,6 +149,17 @@ class GP(Model):
 
     # --- prediction --------------------------------------------------------
     def _raw_predict(self, Xnew, full_cov=False, kern=None):
+        (mu, var), _ = self._raw_predict_ex(Xnew, full_cov=full_cov, kern=kern)
+        return mu, var
+
+    def _raw_predict_ex(self, Xnew, full_cov=False, kern=None,
+                        tail=None, tail_key=None):
+        """Raw predict, optionally folding a traced ``tail(mod, mu, var)``
+        (e.g. the likelihood's predictive_values, or quantiles) into the
+        same jitted program — one tunnel dispatch for the whole predict
+        instead of one per eager op (measured 48.8 -> ~25 ms warm on TPU).
+        Returns (result, tail_folded): result is (mu, var) when the tail
+        was not folded, else whatever the tail returned."""
         kern_arg = kern
         kern = kern or self.kern
         if hasattr(Xnew, "mean") and hasattr(Xnew, "variance"):
@@ -156,7 +167,8 @@ class GP(Model):
             # (GPy: predict(Xnew=VariationalPosterior) -> psi-statistics
             # branch of posterior.py:249-270). Mean functions of a random
             # input have no closed-form expectation here, matching GPy.
-            return self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
+            mu, var = self.posterior._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
+            return (mu, var), False
         Xnew = jnp.asarray(np.asarray(Xnew, dtype=float), dtype=self.X.dtype)
         post = self.posterior
         from ..inference.posterior import Posterior as _WPost
@@ -174,16 +186,19 @@ class GP(Model):
             mu, var = post._raw_predict(kern, Xnew, self._predictive_variable, full_cov)
             if self.mean_function is not None:
                 mu = mu + self.mean_function.f(Xnew)
-            return mu, var
+            return (mu, var), False
         wv, wi, wc = post.woodbury_vector, post._woodbury_inv, post._woodbury_chol
-        key = ("rawpred", Xnew.shape, str(Xnew.dtype), bool(full_cov),
-               None if kern_arg is None else id(kern_arg),
-               self.structure_version(),
-               (wv is None, wi is None, wc is None),
-               self.mean_function is not None)
         cache = self.__dict__.setdefault("_predict_exec_cache", {})
-        fn = cache.get(key)
-        if fn is None:
+
+        def _key(with_tail):
+            return ("rawpred", Xnew.shape, str(Xnew.dtype), bool(full_cov),
+                    None if kern_arg is None else id(kern_arg),
+                    self.structure_version(),
+                    (wv is None, wi is None, wc is None),
+                    self.mean_function is not None,
+                    tail_key if with_tail else None)
+
+        def _make(with_tail):
             def _fn(fl, Xn, pv, wv, wi, wc):
                 mod = self.with_flat_raw(fl)
                 k = kern_arg if kern_arg is not None else mod.kern
@@ -192,20 +207,56 @@ class GP(Model):
                 mu, var = p._raw_predict(k, Xn, pv, full_cov)
                 if mod.mean_function is not None:
                     mu = mu + mod.mean_function.f(Xn)
+                if with_tail:
+                    return tail(mod, mu, var)
                 return mu, var
 
-            fn = jax.jit(_fn)
-            cache[key] = fn
-        return fn(jnp.asarray(self.get_flat_raw()), Xnew,
-                  jnp.asarray(self._predictive_variable), wv, wi, wc)
+            return jax.jit(_fn)
+
+        args = (jnp.asarray(self.get_flat_raw()), Xnew,
+                jnp.asarray(self._predictive_variable), wv, wi, wc)
+        if tail is not None:
+            key = _key(True)
+            fn = cache.get(key)
+            if fn is None and key not in getattr(self, "_predict_fold_failed", set()):
+                fn = cache[key] = _make(True)
+            if fn is not None:
+                try:
+                    return fn(*args), True
+                except Exception:  # non-traceable tail: fall back
+                    cache.pop(key, None)
+                    self.__dict__.setdefault("_predict_fold_failed", set()).add(key)
+        key = _key(False)
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = _make(False)
+        return fn(*args), False
 
     def predict(self, Xnew, full_cov=False, Y_metadata=None, kern=None, likelihood=None,
                 include_likelihood=True):
         """Predictive mean and variance of Y*. GPy: core/gp.py:308-365."""
-        mu, var = self._raw_predict(Xnew, full_cov=full_cov, kern=kern)
-        if include_likelihood:
-            lik = likelihood or self.likelihood
+        lik = likelihood or self.likelihood
+        lik_is_self = likelihood is None
+        folded = False
+        if (type(self)._raw_predict is not GP._raw_predict
+                or not include_likelihood or Y_metadata is not None):
+            # subclass supplies its own raw-predict (warped inputs,
+            # coregionalized index handling), or an eager-only tail:
+            # honor it, no folding
+            mu, var = self._raw_predict(Xnew, full_cov=full_cov, kern=kern)
+        else:
+            def _tail(mod, mu, var):
+                lk = mod.likelihood if lik_is_self else lik
+                return lk.predictive_values(mu, var, full_cov, Y_metadata=None)
+
+            (mu, var), folded = self._raw_predict_ex(
+                Xnew, full_cov=full_cov, kern=kern,
+                tail=_tail, tail_key=("lik", True if lik_is_self else id(lik)))
+        if include_likelihood and not folded:
             mu, var = lik.predictive_values(mu, var, full_cov, Y_metadata=Y_metadata)
+        # single host fetch for both outputs: two sequential np.asarray
+        # fetches pay two ~24ms tunnel RTTs (see CLAUDE.md timing rules)
+        mu, var = jax.device_get((mu, var))
         if self.normalizer is not None:
             mu = self.normalizer.inverse_mean(np.asarray(mu))
             if full_cov:
@@ -221,9 +272,32 @@ class GP(Model):
     def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), Y_metadata=None, kern=None,
                           likelihood=None):
         """GPy: core/gp.py:395-416."""
-        mu, var = self._raw_predict(Xnew, full_cov=False, kern=kern)
         lik = likelihood or self.likelihood
-        qs = lik.predictive_quantiles(mu, var, quantiles, Y_metadata=Y_metadata)
+        lik_is_self = likelihood is None
+        qs = None
+        if (type(self)._raw_predict is GP._raw_predict
+                and Y_metadata is None):
+            # fold the quantile math into the jitted predict program
+            # (one tunnel dispatch; same rationale as predict())
+            def _tail(mod, mu, var):
+                lk = mod.likelihood if lik_is_self else lik
+                out = lk.predictive_quantiles(mu, var, tuple(quantiles),
+                                              Y_metadata=None)
+                return tuple(out)
+
+            res, folded = self._raw_predict_ex(
+                Xnew, full_cov=False, kern=kern, tail=_tail,
+                tail_key=("quant", tuple(quantiles),
+                          True if lik_is_self else id(lik)))
+            if folded:
+                qs = list(jax.device_get(res))
+            else:
+                mu, var = res
+                qs = lik.predictive_quantiles(mu, var, quantiles,
+                                              Y_metadata=Y_metadata)
+        if qs is None:
+            mu, var = self._raw_predict(Xnew, full_cov=False, kern=kern)
+            qs = lik.predictive_quantiles(mu, var, quantiles, Y_metadata=Y_metadata)
         if self.normalizer is not None:
             qs = [self.normalizer.inverse_mean(np.asarray(q)) for q in qs]
         return [np.asarray(q) for q in qs]
