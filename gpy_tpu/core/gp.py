@@ -153,7 +153,7 @@ class GP(Model):
         return mu, var
 
     def _raw_predict_ex(self, Xnew, full_cov=False, kern=None,
-                        tail=None, tail_key=None):
+                        tail=None, tail_key=None, tail_args=()):
         """Raw predict, optionally folding a traced ``tail(mod, mu, var)``
         (e.g. the likelihood's predictive_values, or quantiles) into the
         same jitted program — one tunnel dispatch for the whole predict
@@ -199,7 +199,7 @@ class GP(Model):
                     tail_key if with_tail else None)
 
         def _make(with_tail):
-            def _fn(fl, Xn, pv, wv, wi, wc):
+            def _fn(fl, Xn, pv, wv, wi, wc, *textra):
                 mod = self.with_flat_raw(fl)
                 k = kern_arg if kern_arg is not None else mod.kern
                 p = _WPost(woodbury_vector=wv, woodbury_inv=wi,
@@ -208,7 +208,7 @@ class GP(Model):
                 if mod.mean_function is not None:
                     mu = mu + mod.mean_function.f(Xn)
                 if with_tail:
-                    return tail(mod, mu, var)
+                    return tail(mod, mu, var, *textra)
                 return mu, var
 
             return jax.jit(_fn)
@@ -222,7 +222,7 @@ class GP(Model):
                 fn = cache[key] = _make(True)
             if fn is not None:
                 try:
-                    return fn(*args), True
+                    return fn(*args, *tail_args), True
                 except Exception:  # non-traceable tail: fall back
                     cache.pop(key, None)
                     self.__dict__.setdefault("_predict_fold_failed", set()).add(key)
@@ -341,12 +341,9 @@ class GP(Model):
         return np.sqrt(np.maximum(np.linalg.det(G), 0.0))
 
     # --- sampling ----------------------------------------------------------
-    def posterior_samples_f(self, X, size=10, full_cov=True, seed=0, **kw):
-        """Samples of latent f*. GPy: gp.py:601-628."""
-        mu, var = self._raw_predict(X, full_cov=full_cov)
-        key = jax.random.PRNGKey(seed)
-        n = mu.shape[0]
-        D = mu.shape[1]
+    @staticmethod
+    def _sample_f_tail(mu, var, key, size, full_cov):
+        n, D = mu.shape
         if full_cov:
             jitter = 1e-8 * jnp.trace(var) / n * jnp.eye(n, dtype=var.dtype)
             L = jnp.linalg.cholesky(var + jitter)
@@ -355,14 +352,51 @@ class GP(Model):
         else:
             z = jax.random.normal(key, (D, n, size), dtype=mu.dtype)
             samples = mu.T[:, :, None] + jnp.sqrt(var).T[:, :, None] * z
-        out = jnp.moveaxis(samples, 0, 1)  # (n, D, size)
+        return jnp.moveaxis(samples, 0, 1)  # (n, D, size)
+
+    def posterior_samples_f(self, X, size=10, full_cov=True, seed=0, **kw):
+        """Samples of latent f*. GPy: gp.py:601-628.
+
+        The sample math runs inside the cached jitted predict program (one
+        tunnel dispatch); the PRNG key is an argument, never a trace
+        constant (fresh seeds must not recompile)."""
+        out = None
+        if type(self)._raw_predict is GP._raw_predict:
+            def _tail(mod, mu, var, key):
+                return GP._sample_f_tail(mu, var, key, size, full_cov)
+
+            res, folded = self._raw_predict_ex(
+                X, full_cov=full_cov, tail=_tail,
+                tail_key=("samplesf", int(size)),
+                tail_args=(jax.random.PRNGKey(seed),))
+            if folded:
+                out = res
+        if out is None:
+            mu, var = self._raw_predict(X, full_cov=full_cov)
+            out = GP._sample_f_tail(jnp.asarray(mu), jnp.asarray(var),
+                                    jax.random.PRNGKey(seed), size, full_cov)
         if self.normalizer is not None:
             out = jnp.asarray(self.normalizer.inverse_mean(np.asarray(out).transpose(0, 2, 1)).transpose(0, 2, 1))
         return np.asarray(out)
 
-    def posterior_samples(self, X, size=10, Y_metadata=None, seed=0, **kw):
-        """Samples of Y*. GPy: gp.py:630-652."""
-        fs = self.posterior_samples_f(X, size=size, seed=seed, **kw)
+    def posterior_samples(self, X, size=10, Y_metadata=None, seed=0, full_cov=True, **kw):
+        """Samples of Y*. GPy: gp.py:630-652. Folded into one jitted
+        dispatch (f samples + likelihood sampling) when possible."""
+        if (type(self)._raw_predict is GP._raw_predict
+                and Y_metadata is None and self.normalizer is None):
+            def _tail(mod, mu, var, key):
+                kf, ky = jax.random.split(key)
+                fs = GP._sample_f_tail(mu, var, kf, size, full_cov)
+                return mod.likelihood.samples_given_f(ky, fs, None)
+
+            res, folded = self._raw_predict_ex(
+                X, full_cov=full_cov, tail=_tail,
+                tail_key=("samplesy", int(size)),
+                tail_args=(jax.random.PRNGKey(seed),))
+            if folded:
+                return np.asarray(jax.device_get(res))
+        fs = self.posterior_samples_f(X, size=size, seed=seed,
+                                      full_cov=full_cov, **kw)
         key = jax.random.PRNGKey(seed + 1)
         ys = self.likelihood.samples_given_f(key, jnp.asarray(fs), Y_metadata)
         return np.asarray(ys)

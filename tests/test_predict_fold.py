@@ -91,6 +91,38 @@ def test_custom_likelihood_object_not_cached_as_self():
     np.testing.assert_allclose(var_other - var_self, 4.0 - 0.25, rtol=1e-8)
 
 
+def test_posterior_samples_fold_statistics_and_seed_behavior():
+    X, Y = _toy(seed=6, n=60)
+    m = gm.GPRegression(X, Y, gk.RBF(2))
+    m.optimize(max_iters=30)
+    Xs = X[:12]
+    s = m.posterior_samples_f(Xs, size=4000, seed=7)
+    assert s.shape == (12, 1, 4000)
+    assert any(isinstance(k[-1], tuple) and k[-1] and k[-1][0] == "samplesf"
+               for k in m._predict_exec_cache), "sample fold not exercised"
+    # same seed deterministic, different seed different
+    s2 = m.posterior_samples_f(Xs, size=4000, seed=7)
+    np.testing.assert_array_equal(s, s2)
+    s3 = m.posterior_samples_f(Xs, size=4000, seed=8)
+    assert not np.array_equal(s, s3)
+    # fresh seeds must NOT create new executables (PRNG key is an argument)
+    n_exec = len(m._predict_exec_cache)
+    for sd in range(20, 25):
+        m.posterior_samples_f(Xs, size=4000, seed=sd)
+    assert len(m._predict_exec_cache) == n_exec
+    # moments match the analytic posterior
+    mu, var = m._raw_predict(Xs, full_cov=False)
+    emp_mu = s.mean(axis=-1)
+    emp_sd = s.std(axis=-1)
+    np.testing.assert_allclose(emp_mu, np.asarray(mu), atol=4 * np.sqrt(np.asarray(var)).max() / np.sqrt(4000) + 1e-3)
+    np.testing.assert_allclose(emp_sd, np.sqrt(np.asarray(var)), rtol=0.15)
+    # y-samples carry the likelihood noise on top
+    ys = m.posterior_samples(Xs, size=4000, seed=7, full_cov=False)
+    noise = float(np.asarray(m.likelihood.variance))
+    np.testing.assert_allclose(np.ravel(ys.std(axis=-1) ** 2),
+                               np.ravel(np.asarray(var)) + noise, rtol=0.25)
+
+
 def test_override_raw_predict_subclasses_still_route():
     # InputWarpedGP overrides _raw_predict; folding must not bypass it
     rng = np.random.default_rng(4)
