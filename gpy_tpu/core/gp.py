@@ -404,10 +404,22 @@ class GP(Model):
     # --- densities ----------------------------------------------------------
     def log_predictive_density(self, x_test, y_test, Y_metadata=None):
         """GPy: gp.py:700-714."""
-        mu, var = self._raw_predict(x_test)
         y = np.asarray(y_test, dtype=float)
         if self.normalizer is not None:
             y = self.normalizer.normalize(y)
+        if (type(self)._raw_predict is GP._raw_predict
+                and Y_metadata is None):
+            def _tail(mod, mu, var, yj):
+                return mod.likelihood.log_predictive_density(yj, mu, var, None)
+
+            res, folded = self._raw_predict_ex(
+                x_test, full_cov=False, tail=_tail, tail_key=("lpd",),
+                tail_args=(jnp.asarray(y),))
+            if folded:
+                return np.asarray(jax.device_get(res))
+            mu, var = res
+        else:
+            mu, var = self._raw_predict(x_test)
         return np.asarray(
             self.likelihood.log_predictive_density(jnp.asarray(y), mu, var, Y_metadata)
         )
