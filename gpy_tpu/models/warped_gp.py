@@ -56,42 +56,94 @@ class WarpedGP(GP):
         self.__dict__["_posterior_cache"] = (fp, post)
         return post
 
-    def predict(self, Xnew, full_cov=False, Y_metadata=None, kern=None,
-                likelihood=None, include_likelihood=True, median=False):
-        mu, var = self._raw_predict(Xnew, full_cov=False, kern=kern)
+    @staticmethod
+    def _warp_predict_tail(wf, noise_var, mu, var, include_likelihood,
+                           warped, median):
+        """Shared (traceable) prediction tail: latent noise + un-warping.
+        Runs inside the cached jitted predict program (one tunnel dispatch)
+        or eagerly on the fallback path — same math either way."""
         if include_likelihood:
-            var = var + jnp.asarray(self.likelihood.variance)
-        if not self.predict_in_warped_space:
-            return np.asarray(mu), np.asarray(var)
+            var = var + noise_var
+        if not warped:
+            return mu, var
         if median:
-            mean_w = self.warping_function.f_inv(mu)
+            mean_w = wf.f_inv(mu)
             # delta-method variance
-            g = self.warping_function.fgrad_y(mean_w)
-            return np.asarray(mean_w), np.asarray(var / jnp.maximum(g, 1e-12) ** 2)
+            g = wf.fgrad_y(mean_w)
+            return mean_w, var / jnp.maximum(g, 1e-12) ** 2
         # GH quadrature of f_inv over the latent Gaussian (GPy warped_gp.py)
         x, w = gh_points(20, dtype=mu.dtype)
         zs = mu[..., None] + jnp.sqrt(var)[..., None] * x
-        ys = self.warping_function.f_inv(zs.reshape(-1, 1)).reshape(zs.shape)
+        ys = wf.f_inv(zs.reshape(-1, 1)).reshape(zs.shape)
         mean_w = jnp.sum(w * ys, axis=-1)
         var_w = jnp.sum(w * ys**2, axis=-1) - mean_w**2
-        return np.asarray(mean_w), np.asarray(jnp.maximum(var_w, 1e-12))
+        return mean_w, jnp.maximum(var_w, 1e-12)
+
+    def predict(self, Xnew, full_cov=False, Y_metadata=None, kern=None,
+                likelihood=None, include_likelihood=True, median=False):
+        warped = self.predict_in_warped_space
+
+        def _tail(mod, mu, var):
+            return WarpedGP._warp_predict_tail(
+                mod.warping_function, jnp.asarray(mod.likelihood.variance),
+                mu, var, include_likelihood, warped, median)
+
+        res, folded = self._raw_predict_ex(
+            Xnew, full_cov=False, kern=kern, tail=_tail,
+            tail_key=("warppred", bool(include_likelihood), bool(median),
+                      bool(warped)))
+        if folded:
+            mu, var = res
+        else:
+            mu, var = res
+            mu, var = WarpedGP._warp_predict_tail(
+                self.warping_function, jnp.asarray(self.likelihood.variance),
+                jnp.asarray(mu), jnp.asarray(var), include_likelihood,
+                warped, median)
+        import jax as _jax
+        mu, var = _jax.device_get((mu, var))
+        return np.asarray(mu), np.asarray(var)
 
     def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), Y_metadata=None, **kw):
         from scipy.stats import norm
 
-        mu, var = self._raw_predict(Xnew, full_cov=False)
+        cs = tuple(float(norm.ppf(q / 100.0)) for q in quantiles)
+
+        def _tail(mod, mu, var):
+            wf = mod.warping_function
+            var2 = var + jnp.asarray(mod.likelihood.variance)
+            return tuple(wf.f_inv(mu + c * jnp.sqrt(var2)) for c in cs)
+
+        res, folded = self._raw_predict_ex(
+            Xnew, full_cov=False, tail=_tail, tail_key=("warpquant", cs))
+        if folded:
+            import jax as _jax
+            return [np.asarray(q) for q in _jax.device_get(res)]
+        mu, var = res
         var = var + jnp.asarray(self.likelihood.variance)
-        qs = []
-        for q in quantiles:
-            zq = mu + float(norm.ppf(q / 100.0)) * jnp.sqrt(var)
-            qs.append(np.asarray(self.warping_function.f_inv(zq)))
-        return qs
+        return [np.asarray(self.warping_function.f_inv(mu + c * jnp.sqrt(var)))
+                for c in cs]
 
     def log_predictive_density(self, x_test, y_test, Y_metadata=None):
-        z_test = self.warping_function.f(jnp.asarray(np.asarray(y_test, dtype=float)))
+        y = jnp.asarray(np.asarray(y_test, dtype=float))
+
+        def _tail(mod, mu, var, yj):
+            wf = mod.warping_function
+            lpd = mod.likelihood.log_predictive_density(wf.f(yj), mu, var, None)
+            jac = jnp.log(jnp.maximum(wf.fgrad_y(yj), 1e-12))
+            return lpd + jac
+
+        if Y_metadata is None:
+            res, folded = self._raw_predict_ex(
+                x_test, full_cov=False, tail=_tail, tail_key=("warplpd",),
+                tail_args=(y,))
+            if folded:
+                import jax as _jax
+                return np.asarray(_jax.device_get(res))
+        z_test = self.warping_function.f(y)
         mu, var = self._raw_predict(x_test)
         lpd = self.likelihood.log_predictive_density(z_test, mu, var, Y_metadata)
-        jac = jnp.log(jnp.maximum(self.warping_function.fgrad_y(jnp.asarray(np.asarray(y_test, float))), 1e-12))
+        jac = jnp.log(jnp.maximum(self.warping_function.fgrad_y(y), 1e-12))
         return np.asarray(lpd + jac)
 
 
