@@ -537,21 +537,47 @@ class StateSpace(Model):
             np.concatenate([np.ones_like(Xtr, dtype=bool), np.zeros_like(Xnew, dtype=bool)])[order]
         )
         # guard against zero dt (duplicate times): add tiny epsilon spacing
-        _, ms, Ps, mpreds, Ppreds, A, H = self._pick_filter()(times, ys, mask)
         if self.engine == "cpp":
             from .. import native
 
+            _, ms, Ps, mpreds, Ppreds, A, H = self._pick_filter()(times, ys, mask)
             ms_s, Ps_s = native.rts_smoother_cpp(ms, Ps, mpreds, Ppreds, A)
+            mu_all = jnp.einsum("ij,njk->ni", H, ms_s)  # (n,1)
+            var_all = jnp.einsum("ij,njk,lk->nil", H, Ps_s, H)[:, 0, 0]
+            _, white = sde_parts(self.kern, t0=times[0])
+            var_all = var_all + jnp.asarray(white)
+            if include_likelihood:
+                var_all = var_all + jnp.asarray(self.noise_var)
         else:
-            ms_s, Ps_s = self._smooth(ms, Ps, mpreds, Ppreds, A)
-        mu_all = jnp.einsum("ij,njk->ni", H, ms_s)  # (n,1)
-        var_all = jnp.einsum("ij,njk,lk->nil", H, Ps_s, H)[:, 0, 0]
+            # whole filter+smoother+readout as ONE cached jitted program:
+            # running it eagerly costs one ~24ms tunnel dispatch per op on
+            # TPU (same disease the compiled GP predict path fixed)
+            key = ("sspred", times.shape, str(times.dtype),
+                   bool(include_likelihood), self.parallel,
+                   getattr(self, "stable", False), self.structure_version())
+            cache = self.__dict__.setdefault("_predict_exec_cache", {})
+            fn = cache.get(key)
+            if fn is None:
+                def _fn(fl, t, y, mk):
+                    mod = self.with_flat_raw(fl)
+                    _, ms, Ps, mpreds, Ppreds, A, H = mod._pick_filter()(t, y, mk)
+                    ms_s, Ps_s = mod._smooth(ms, Ps, mpreds, Ppreds, A)
+                    mu_all = jnp.einsum("ij,njk->ni", H, ms_s)  # (n,1)
+                    var_all = jnp.einsum("ij,njk,lk->nil", H, Ps_s, H)[:, 0, 0]
+                    # White summands carry no state; their variance is part
+                    # of the latent f at new points (dense-GP semantics:
+                    # Kdiag includes it).
+                    _, white = sde_parts(mod.kern, t0=t[0])
+                    var_all = var_all + white
+                    if include_likelihood:
+                        var_all = var_all + jnp.asarray(mod.noise_var)
+                    return mu_all, var_all
+
+                import jax as _jax
+                fn = cache[key] = _jax.jit(_fn)
+            mu_all, var_all = fn(jnp.asarray(self.get_flat_raw()), times, ys, mask)
+        import jax as _jax
+        mu_all, var_all = _jax.device_get((mu_all, var_all))
         mu = np.asarray(mu_all)[inv][len(Xtr):]
         var = np.asarray(var_all)[inv][len(Xtr):]
-        # White summands carry no state; their variance is part of the
-        # latent f at new points (dense-GP semantics: Kdiag includes it).
-        _, white = sde_parts(self.kern, t0=times[0])
-        var = var + float(np.asarray(white))
-        if include_likelihood:
-            var = var + float(np.asarray(self.noise_var))
         return mu.reshape(-1, 1), np.maximum(var, 1e-12).reshape(-1, 1)

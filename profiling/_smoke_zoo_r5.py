@@ -253,6 +253,10 @@ def main():
     for name, build in builders().items():
         t0 = time.time()
         try:
+            # mappings (Linear/MLP) init from the global legacy RNG
+            # (GPy-compatible): seed it so both platforms build the
+            # identical model
+            np.random.seed(12345)
             m = build()
             if hasattr(m, "objective_function"):
                 obj = float(m.objective_function())
