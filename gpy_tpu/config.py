@@ -79,3 +79,22 @@ def default_dtype():
     import jax.numpy as jnp
 
     return jnp.float64 if config.default_dtype == "float64" else jnp.float32
+
+
+def complex_dtype():
+    """Widest complex dtype the default backend supports.
+
+    TPU implements no C128 (the r5 on-chip zoo sweep caught the LFM
+    kernels failing to compile with 'Element type C128 is not supported
+    on TPU'); its f64 is ~f32 precision anyway, so c64 there loses
+    nothing real. CPU keeps c128 for the ~1e-13 Faddeeva accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return jnp.complex128
+    if backend in ("tpu", "axon") or "tpu" in backend.lower():
+        return jnp.complex64
+    return jnp.complex128 if config.default_dtype == "float64" else jnp.complex64

@@ -241,7 +241,12 @@ class DGPLVM(Prior):
         x = self._xprime(x)
         Sb, Sw = _class_scatter(x, self.lbl)
         Q = Sb.shape[0]
-        sol = jnp.linalg.solve(Sb + self.ridge * jnp.eye(Q, dtype=x.dtype), Sw)
+        # SPD solve via Cholesky (reference uses pdinv, priors.py:734);
+        # generic LU lowers to LuDecomposition which TPU only implements
+        # for f32/c64 — found by the r5 on-chip zoo sweep
+        from jax.scipy.linalg import cho_factor, cho_solve
+        sol = cho_solve(cho_factor(Sb + self.ridge * jnp.eye(Q, dtype=x.dtype),
+                                   lower=True), Sw)
         return (-1.0 / self.sigma2) * jnp.trace(sol)
 
     def rvs(self, n, rng=None):
@@ -324,7 +329,9 @@ class DGPLVM_KFDA(Prior):
         AK = self.A @ K
         AKa = AK @ self.a
         P = self.lambdaa * jnp.eye(self.datanum, dtype=K.dtype) + AK @ self.A
-        J = self.a.T @ K @ self.a - AKa.T @ jnp.linalg.solve(P, AKa)
+        # SPD solve via Cholesky (reference: pdinv, priors.py:527)
+        from jax.scipy.linalg import cho_factor, cho_solve
+        J = self.a.T @ K @ self.a - AKa.T @ cho_solve(cho_factor(P, lower=True), AKa)
         return jnp.squeeze((-1.0 / self.sigma2) * J / self.lambdaa)
 
     def rvs(self, n, rng=None):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..util.linalg import jitchol
+from ..util.linalg import jitchol, slogdet_lu_safe, solve_lu_safe
 from .exact import LatentFunctionInference
 from .posterior import Posterior
 
@@ -61,7 +61,7 @@ def _newton_direction(f, K, likelihood, Y, Y_metadata, m, psd_W=False):
         a = b - sW * jax.scipy.linalg.cho_solve((LB, True), sW * Kb)
         return K @ a, a
     A = jnp.eye(N, dtype=K.dtype) + W * K  # (I + diag(W) K)
-    a = jnp.linalg.solve(A, b)
+    a = solve_lu_safe(A, b)
     return K @ a, a
 
 
@@ -157,9 +157,9 @@ class Laplace(LatentFunctionInference):
             woodbury_inv = U.T @ U
         else:
             A = jnp.eye(N, dtype=K.dtype) + W * K  # I + diag(W) K
-            sign, logdetA = jnp.linalg.slogdet(A)
+            sign, logdetA = slogdet_lu_safe(A)
             # (K + W^{-1})^{-1} = (I + W K)^{-1} W   (no 1/W — safe for W<=0)
-            Ai_W = jnp.linalg.solve(A, jnp.diag(W[:, 0]))
+            Ai_W = solve_lu_safe(A, jnp.diag(W[:, 0]))
             woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
         log_marginal = (
             jnp.sum(likelihood.logpdf(f_hat + m, Y, Y_metadata))
@@ -200,7 +200,7 @@ def _newton_direction_block(f, K, likelihood, Y, Y_metadata, m):
     N = K.shape[0]
     b = W @ f + grad
     A = jnp.eye(N, dtype=K.dtype) + W @ K
-    a = jnp.linalg.solve(A, b)
+    a = solve_lu_safe(A, b)
     return K @ a, a
 
 
@@ -271,13 +271,13 @@ class LaplaceBlock(Laplace):
             lax.stop_gradient(f_star), K, likelihood, Y, Y_metadata, m)
         W, _ = _W_block(f_hat, likelihood, Y, Y_metadata, m)
         A = jnp.eye(N, dtype=K.dtype) + W @ K
-        sign, logdetA = jnp.linalg.slogdet(A)
+        sign, logdetA = slogdet_lu_safe(A)
         log_marginal = (
             jnp.sum(likelihood.logpdf(f_hat + m, Y, Y_metadata))
             - 0.5 * jnp.sum(a * f_hat)
             - 0.5 * logdetA
         )
-        Ai_W = jnp.linalg.solve(A, W)
+        Ai_W = solve_lu_safe(A, W)
         woodbury_inv = 0.5 * (Ai_W + Ai_W.T)
         posterior = Posterior(woodbury_vector=a, woodbury_inv=woodbury_inv, K=K)
         return posterior, log_marginal

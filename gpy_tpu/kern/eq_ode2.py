@@ -23,8 +23,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
+def _cdt():
+    from ..config import complex_dtype
+
+    return complex_dtype()
+
 from ..core.transformations import Logexp
-from ..util.wofz import erf_complex, wofz
+from ..util.cplx import Cplx, as_cplx, cabs, cexp, csqrt, cwhere
+from ..util.wofz import wofz_c
 from .kern import Kern
 
 __all__ = ["EQ_ODE2"]
@@ -32,6 +39,14 @@ __all__ = ["EQ_ODE2"]
 SQRT_PI = float(np.sqrt(np.pi))
 _GL_NODES = 40
 _glx, _glw = np.polynomial.legendre.leggauss(_GL_NODES)
+
+
+def _i_times(z):
+    """1j * z on real-pair complex values (the axon TPU runtime has NO
+    complex element types — even jit-internal c64 fails UNIMPLEMENTED;
+    found by the r5 on-chip zoo sweep via IBPLFM). All complex algebra in
+    this kernel runs on util.cplx.Cplx real pairs."""
+    return Cplx(-z.im, z.re)
 
 
 def _upsilon(gamma, t, tp, l):
@@ -51,23 +66,30 @@ def _upsilon(gamma, t, tp, l):
       Re(nu - a)  > 0:  e^{-a^2} erfcx(nu - a) - T
       with T = e^{-gamma t - b^2} erfcx(nu + b)    (Re(nu + b) >= 0 always).
     """
-    nu = gamma * l / 2.0
+    # gamma is a Cplx real pair; t, tp, l stay REAL arrays (broadcastable).
+    # All complex algebra runs on util.cplx.Cplx — the axon TPU runtime
+    # rejects complex element types outright.
+    gamma = as_cplx(gamma)  # accepts Cplx or native complex (CPU callers)
+    t = jnp.asarray(t)
+    tp = jnp.asarray(tp)
+    l = jnp.asarray(l)
+    nu = gamma * (l / 2.0)
     a = (t - tp) / l
     b = tp / l
 
     def erfcx_c(z):
-        return wofz(1j * z)
+        return wofz_c(_i_times(z))
 
-    small = (nu - a).real <= 0
+    small = (nu.re - a) <= 0
     # double-where: the unselected branch must see benign arguments or its
     # overflow poisons gradients through the final where
-    nu1 = jnp.where(small, nu, a)  # branch 1 args (Re(a - nu1) >= 0)
-    nu2 = jnp.where(small, a, nu)  # branch 2 args (Re(nu2 - a) >= 0)
-    T = jnp.exp(-gamma * t - b * b) * erfcx_c(nu + b)
-    br1 = (2.0 * jnp.exp(nu1 * (nu1 - 2.0 * a))
-           - jnp.exp(-a * a) * erfcx_c(a - nu1) - T)
-    br2 = jnp.exp(-a * a) * erfcx_c(nu2 - a) - T
-    return (l * SQRT_PI / 2.0) * jnp.where(small, br1, br2)
+    nu1 = cwhere(small, nu, Cplx(jnp.broadcast_to(a, (nu + a).shape)))
+    nu2 = cwhere(small, Cplx(jnp.broadcast_to(a, (nu + a).shape)), nu)
+    T = cexp(-(gamma * t) - b * b) * erfcx_c(nu + b)
+    br1 = (2.0 * cexp(nu1 * (nu1 - 2.0 * a))
+           - erfcx_c(-nu1 + a) * jnp.exp(-a * a) - T)
+    br2 = erfcx_c(nu2 - a) * jnp.exp(-a * a) - T
+    return cwhere(small, br1, br2) * (l * SQRT_PI / 2.0)
 
 
 class EQ_ODE2(Kern):
@@ -93,15 +115,15 @@ class EQ_ODE2(Kern):
 
     # --- helpers ------------------------------------------------------------
     def _gammas(self):
-        C = jnp.asarray(self.C).astype(jnp.complex128)
-        B = jnp.asarray(self.B).astype(jnp.complex128)
+        C = jnp.asarray(self.C)
+        B = jnp.asarray(self.B)
         alpha = C / 2.0
-        omega = jnp.sqrt(B - C * C / 4.0)  # complex sqrt handles overdamping
+        omega = csqrt(Cplx(B - C * C / 4.0))  # complex sqrt handles overdamping
         # critical damping (omega -> 0) makes the two-pole Green's function
         # 0/0; nudge to a nearby underdamped system (error O(1e-8))
-        omega = jnp.where(jnp.abs(omega) < 1e-8, omega + 1e-8, omega)
-        gamma = alpha + 1j * omega
-        gamma2 = alpha - 1j * omega  # NOT conj(gamma): differs when omega is imaginary
+        omega = cwhere(cabs(omega) < 1e-8, omega + 1e-8, omega)
+        gamma = _i_times(omega) + alpha
+        gamma2 = -_i_times(omega) + alpha  # NOT conj(gamma): differs when omega is imaginary
         return gamma, gamma2, omega
 
     def _Kuu(self, t, q_idx):
@@ -118,12 +140,12 @@ class EQ_ODE2(Kern):
         w_r = omega[d_idx][:, None]
         lq = jnp.asarray(self.lengthscale)[q_idx][None, :]
         Sdq = jnp.asarray(self.W)[d_idx][:, q_idx]
-        tt = t[:, None].astype(jnp.complex128)
-        zz = z[None, :].astype(jnp.complex128)
+        tt = t[:, None]
+        zz = z[None, :]
         up_c = _upsilon(gc_r, tt, zz, lq)
         up = _upsilon(g_r, tt, zz, lq)
-        val = (up_c - up) / (2j * w_r)
-        return Sdq * jnp.real(val)
+        val = (up_c - up) / (_i_times(w_r) * 2.0)
+        return Sdq * val.re
 
     def _Kff(self, t, d_idx, t2, d2_idx):
         """Output-output block: exact Upsilon + Gauss-Legendre outer integral.
@@ -141,32 +163,32 @@ class EQ_ODE2(Kern):
         g_c = gamma[d2_idx][None, :]
         gc_c = gamma_c[d2_idx][None, :]
         w_c = omega[d2_idx][None, :]
-        tt = t[:, None].astype(jnp.complex128)
-        tt2 = t2[None, :].astype(jnp.complex128)
+        tt = t[:, None]
+        tt2 = t2[None, :]
 
         nodes = jnp.asarray((_glx + 1.0) / 2.0)  # in (0,1)
         wts = jnp.asarray(_glw / 2.0)
 
         def per_q(q):
             l = lq[q]
-            Sq = jnp.outer(S[d_idx, q], S[d2_idx, q]).astype(jnp.complex128)
+            Sq = jnp.outer(S[d_idx, q], S[d2_idx, q])
 
             def inner(frac, wgt):
                 taup = tt2 * frac  # (1,M) broadcast over rows later
                 # bracket over the column Green's function:
                 #   [e^{-gc_c (t2-taup)} - e^{-g_c (t2-taup)}]/(2i w_c)
-                colf = (jnp.exp(-gc_c * (tt2 - taup)) - jnp.exp(-g_c * (tt2 - taup))) / (2j * w_c)
+                colf = (cexp(-gc_c * (tt2 - taup)) - cexp(-g_c * (tt2 - taup))) / (_i_times(w_c) * 2.0)
                 # bracket over the row: Upsilon difference
-                rowf = (_upsilon(gc_r, tt, taup, l) - _upsilon(g_r, tt, taup, l)) / (2j * w_r)
-                return wgt * tt2 * colf * rowf
+                rowf = (_upsilon(gc_r, tt, taup, l) - _upsilon(g_r, tt, taup, l)) / (_i_times(w_r) * 2.0)
+                return colf * rowf * (wgt * tt2)
 
-            vals = jax.vmap(inner)(nodes, wts)  # (G, N, M)
-            return Sq * jnp.sum(vals, axis=0)
+            vals = jax.vmap(inner)(nodes, wts)  # Cplx of (G, N, M)
+            return jnp.sum(vals.re, axis=0) * Sq
 
         total = per_q(0)
         for q in range(1, R):
             total = total + per_q(q)
-        return jnp.real(total)
+        return total
 
     # --- dispatch (same convention as eq_ode1 / the reference) --------------
     def _split(self, X):
@@ -208,25 +230,25 @@ class EQ_ODE2(Kern):
         g = gamma[d_idx]
         gc = gamma_c[d_idx]
         w = omega[d_idx]
-        tt = t.astype(jnp.complex128)
+        tt = t
         nodes = jnp.asarray((_glx + 1.0) / 2.0)
         wts = jnp.asarray(_glw / 2.0)
 
         def per_q(q):
             l = lq[q]
-            Sq = (S[d_idx, q] ** 2).astype(jnp.complex128)
+            Sq = S[d_idx, q] ** 2
 
             def inner(frac, wgt):
                 taup = tt * frac
-                colf = (jnp.exp(-gc * (tt - taup)) - jnp.exp(-g * (tt - taup))) / (2j * w)
-                rowf = (_upsilon(gc, tt, taup, l) - _upsilon(g, tt, taup, l)) / (2j * w)
-                return wgt * tt * colf * rowf
+                colf = (cexp(-gc * (tt - taup)) - cexp(-g * (tt - taup))) / (_i_times(w) * 2.0)
+                rowf = (_upsilon(gc, tt, taup, l) - _upsilon(g, tt, taup, l)) / (_i_times(w) * 2.0)
+                return colf * rowf * (wgt * tt)
 
-            vals = jax.vmap(inner)(nodes, wts)  # (G, N)
-            return Sq * jnp.sum(vals, axis=0)
+            vals = jax.vmap(inner)(nodes, wts)  # Cplx of (G, N)
+            return jnp.sum(vals.re, axis=0) * Sq
 
         cols = [per_q(q) for q in range(self.rank)]
-        return jnp.real(jnp.stack(cols, axis=1))
+        return jnp.stack(cols, axis=1)
 
     def Kdiag(self, X):
         t, idx = self._split(X)

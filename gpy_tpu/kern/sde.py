@@ -78,7 +78,8 @@ def rbf_sde(variance, lengthscale, K=_RBF_ORDER):
     eyeK = jnp.eye(K)
     A = jnp.kron(eyeK, F) + jnp.kron(F, eyeK)
     b = -(L @ Qc @ L.T).reshape(-1)
-    Pinf = jnp.linalg.solve(A, b).reshape(K, K)
+    from ..util.linalg import solve_lu_safe
+    Pinf = solve_lu_safe(A, b).reshape(K, K)
     Pinf = 0.5 * (Pinf + Pinf.T)
     return F, L, Qc, H, Pinf
 

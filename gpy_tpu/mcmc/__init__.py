@@ -70,7 +70,8 @@ class HMC:
         n = self.p.shape[0]
         self._user_M = M is not None
         self.M = jnp.asarray(M) if M is not None else jnp.eye(n, dtype=self.p.dtype)
-        self.Minv = jnp.linalg.inv(self.M)
+        from ..util.linalg import solve_lu_safe
+        self.Minv = solve_lu_safe(self.M, jnp.eye(self.M.shape[0], dtype=self.M.dtype))
         # momentum sampling uses a PRE-FACTORED mass matrix: calling
         # multivariate_normal inside the leapfrog kernel re-cholesky's M
         # every step (and under vmap that's a serialized batched tiny chol)

@@ -26,6 +26,7 @@ from jax import lax
 from ..core.model import Model
 from ..core.transformations import Logexp
 from ..config import default_dtype
+from ..util.linalg import solve_lu_safe
 from ..kern import Add, Kern, Matern32, White
 
 __all__ = ["StateSpace", "combined_sde", "sde_parts"]
@@ -97,7 +98,8 @@ def _van_loan(F, LQcLt, dt):
         .at[:s, s:].set(LQcLt)
         .at[s:, s:].set(F.T)
     )
-    Phi = jax.scipy.linalg.expm(M * dt)
+    from ..util.linalg import expm_safe
+    Phi = expm_safe(M * dt)
     A = Phi[s:, s:].T
     Q = A @ Phi[:s, s:]
     return A, 0.5 * (Q + Q.T)
@@ -166,7 +168,7 @@ class StateSpace(Model):
             raise ValueError("kernel has no SDE state (White-only kernel?)")
         dts = jnp.diff(times)
         dt = times.dtype
-        expm = jax.scipy.linalg.expm
+        from ..util.linalg import expm_safe as expm
         sizes = [p[0].shape[0] for p in parts]
         s = int(sum(sizes))
         A = jnp.zeros((dts.shape[0], s, s), dtype=dt)
@@ -248,15 +250,15 @@ class StateSpace(Model):
             sdim = Ai.shape[-1]
             I = jnp.eye(sdim, dtype=Ai.dtype)
             # A_j (I + C_i J_j)^{-1}  ==  solve((I + C_i J_j)^T, A_j^T)^T
-            M = jnp.linalg.solve(
+            M = solve_lu_safe(
                 jnp.swapaxes(I + Ci @ Jj, -1, -2), jnp.swapaxes(Aj, -1, -2)
             )
             AjM = jnp.swapaxes(M, -1, -2)
             A_new = AjM @ Ai
             b_new = (AjM @ (bi[..., None] + Ci @ etaj[..., None]))[..., 0] + bj
             C_new = AjM @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
-            eta_new = (jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(I + Jj @ Ci, (etaj - (Jj @ bi[..., None])[..., 0])[..., None]))[..., 0] + etai
-            J_new = jnp.swapaxes(Ai, -1, -2) @ jnp.linalg.solve(I + Jj @ Ci, Jj @ Ai) + Ji
+            eta_new = (jnp.swapaxes(Ai, -1, -2) @ solve_lu_safe(I + Jj @ Ci, (etaj - (Jj @ bi[..., None])[..., 0])[..., None]))[..., 0] + etai
+            J_new = jnp.swapaxes(Ai, -1, -2) @ solve_lu_safe(I + Jj @ Ci, Jj @ Ai) + Ji
             return A_new, b_new, C_new, eta_new, J_new
 
         # --- shared sequential pieces ------------------------------------
@@ -471,7 +473,11 @@ class StateSpace(Model):
         def step(carry, inp):
             m_next_s, P_next_s = carry
             m_f, P_f, m_pred_next, P_pred_next, A_n = inp
-            G = P_f @ A_n.T @ jnp.linalg.inv(P_pred_next + 1e-12 * jnp.eye(P_pred_next.shape[0], dtype=P_f.dtype))
+            # SPD predicted covariance: Cholesky solve (generic inv is an
+            # LU, which TPU lacks for f64)
+            S = P_pred_next + 1e-12 * jnp.eye(P_pred_next.shape[0], dtype=P_f.dtype)
+            G = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(S), True), A_n @ P_f.T).T
             m_s = m_f + G @ (m_next_s - m_pred_next)
             P_s = P_f + G @ (P_next_s - P_pred_next) @ G.T
             return (m_s, P_s), (m_s, P_s)

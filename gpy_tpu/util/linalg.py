@@ -41,7 +41,59 @@ __all__ = [
     "cho_solve",
     "chol_and_inv",
     "jitchol_and_inv",
+    "solve_lu_safe",
+    "slogdet_lu_safe",
+    "expm_safe",
 ]
+
+
+def _tpu_backend() -> bool:
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probing never fails in tests
+        return False
+    return backend in ("tpu", "axon") or "tpu" in backend.lower()
+
+
+def _lu_dtype(dtype):
+    """TPU implements LuDecomposition only for f32/c64 (the r5 on-chip zoo
+    sweep caught f64 state-space/Laplace/DGPLVM programs failing to
+    compile). Its f64 is silently ~f32 precision anyway, so casting for
+    the LU loses nothing real."""
+    if not _tpu_backend():
+        return dtype
+    if dtype == jnp.float64:
+        return jnp.float32
+    if dtype == jnp.complex128:
+        return jnp.complex64
+    return dtype
+
+
+def solve_lu_safe(A: jax.Array, b: jax.Array) -> jax.Array:
+    """jnp.linalg.solve (general LU solve) with the TPU-f64 guard."""
+    dt = jnp.result_type(A.dtype, b.dtype)
+    ldt = _lu_dtype(dt)
+    if ldt == dt:
+        return jnp.linalg.solve(A, b)
+    return jnp.linalg.solve(A.astype(ldt), b.astype(ldt)).astype(dt)
+
+
+def slogdet_lu_safe(A: jax.Array):
+    """jnp.linalg.slogdet with the TPU-f64 guard."""
+    ldt = _lu_dtype(A.dtype)
+    if ldt == A.dtype:
+        return jnp.linalg.slogdet(A)
+    sign, ld = jnp.linalg.slogdet(A.astype(ldt))
+    return sign.astype(A.dtype), ld.astype(A.dtype)
+
+
+def expm_safe(M: jax.Array) -> jax.Array:
+    """jax.scipy.linalg.expm with the TPU-f64 guard (its Padé denominator
+    is an internal LU solve)."""
+    ldt = _lu_dtype(M.dtype)
+    if ldt == M.dtype:
+        return jax.scipy.linalg.expm(M)
+    return jax.scipy.linalg.expm(M.astype(ldt)).astype(M.dtype)
 
 
 def chol_and_inv(K: jax.Array):

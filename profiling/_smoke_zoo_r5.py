@@ -250,7 +250,11 @@ def builders():
 
 def main():
     results = {}
+    only = os.environ.get("SMOKE_ONLY")
+    only = set(only.split(",")) if only else None
     for name, build in builders().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             # mappings (Linear/MLP) init from the global legacy RNG
